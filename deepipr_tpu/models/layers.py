@@ -1,0 +1,234 @@
+"""Layer blocks: ConvBlock, PassportBlock, PassportPrivateBlock (Flax Linen).
+
+Functional re-design of the reference's layer blocks
+(models/layers/conv2d.py, passportconv2d.py, passportconv2d_private.py):
+
+- Derived scales flow OUT of the module via ``self.sow('passport_aux', ...)``
+  instead of being accumulated into stateful SignLoss modules; the train step
+  computes the sign loss from the sown aux.
+- Passports (key/skey) live in the 'passport' variable collection, the
+  signature ``b`` in 'signature' — both non-trainable, checkpointed, and
+  swappable (attack surface).
+- The input/key/skey convolutions share one kernel and are batched into a
+  single convolution (see passport.derive.fused_conv_with_passports) so the
+  MXU sees one large matmul per passport layer instead of three.
+
+Variable collections used by models in this package:
+  params | batch_stats | passport | signature | passport_aux (sown, per-call)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deepipr_tpu.ops.norms import apply_norm, make_norm
+from deepipr_tpu.passport.codec import encode_signature
+from deepipr_tpu.passport.derive import fused_conv_with_passports
+
+# kaiming_normal(mode='fan_out', nonlinearity='relu') — the reference's conv init
+# (conv2d.py:28, passportconv2d.py:88)
+kaiming_normal_fan_out = nn.initializers.variance_scaling(
+    2.0, "fan_out", "normal"
+)
+
+
+def _symmetric_pad(padding: int):
+    return [(padding, padding), (padding, padding)]
+
+
+def _tap_input(module: nn.Module, x):
+    """Record this block's input into the 'taps' collection when requested.
+
+    The key-setup pass (train/keys.py) runs a pretrained model over the
+    candidate passport images with mutable=['taps'] to collect the activation
+    maps entering each block — the reference's set_intermediate_keys walk
+    (alexnet_passport.py:104-112, resnet_passport.py:32-65) without the
+    layer-by-layer host loop. A no-op unless 'taps' is mutable in apply.
+    """
+    if not module.is_initializing():
+        module.sow("taps", "inp", x)
+
+
+class ConvBlock(nn.Module):
+    """Conv2d -> norm -> optional ReLU (reference: models/layers/conv2d.py:5-36).
+
+    Conv bias exists only when norm_type == 'none', like the reference.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    norm_type: str = "bn"
+    relu: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _tap_input(self, x)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            (self.strides, self.strides),
+            padding=_symmetric_pad(self.padding),
+            use_bias=self.norm_type == "none",
+            kernel_init=kaiming_normal_fan_out,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        norm = make_norm(self.norm_type, self.features, name="bn")
+        x = apply_norm(norm, x, train)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class _PassportMixin:
+    """Shared passport machinery for the V1 and V2/V3 passport blocks."""
+
+    def _signature_var(self):
+        def init_b():
+            return encode_signature(
+                self.make_rng("passport"), self.features, self.b_spec
+            )
+
+        return self.variable("signature", "b", init_b)
+
+    def _passport_vars(self, x):
+        """key/skey variables shaped like a batch-1 slice of this layer's input.
+
+        For key_type='random' these U(-1,1) values ARE the passports
+        (reference generates them lazily at first forward,
+        passportconv2d.py:209-216); for 'image'/'shuffle' they are placeholders
+        overwritten by the key-setup pass (train/keys.py).
+        """
+        kshape = (1,) + tuple(x.shape[1:])
+
+        def init_passport():
+            return jax.random.uniform(
+                self.make_rng("passport"), kshape, jnp.float32, -1.0, 1.0
+            )
+
+        key = self.variable("passport", "key", init_passport)
+        skey = self.variable("passport", "skey", init_passport)
+        return key, skey
+
+    def _conv(self):
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            (self.strides, self.strides),
+            padding=_symmetric_pad(self.padding),
+            use_bias=False,
+            kernel_init=kaiming_normal_fan_out,
+            dtype=self.dtype,
+            name="conv",
+        )
+
+    def _sow_aux(self, scale, b):
+        if self.alpha != 0 and not self.is_initializing():
+            self.sow(
+                "passport_aux",
+                "aux",
+                {"scale": scale, "b": b, "alpha": self.alpha},
+            )
+
+
+class PassportBlock(nn.Module, _PassportMixin):
+    """V1 passport layer (reference: models/layers/passportconv2d.py:11-223).
+
+    conv (no bias) -> affine-free norm -> scale*x + bias -> optional ReLU,
+    where (scale, bias) are derived from the secret passports through the
+    layer's own convolution. With ``learnable_affine=True`` (the reference's
+    init_scale(True)/init_bias(True), used by attacks and transfer learning),
+    learned scale/bias parameters exist and are used unless ``force_passport``.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    norm_type: str = "bn"
+    key_type: str = "random"
+    alpha: float = 1.0  # sign-loss weight; 0 disables the sign loss
+    b_spec: Union[None, int, str] = None
+    relu: bool = True
+    learnable_affine: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, force_passport: bool = False, train: bool = False):
+        _tap_input(self, x)
+        conv = self._conv()
+        b = self._signature_var()
+        key, skey = self._passport_vars(x)
+
+        if self.learnable_affine and not force_passport:
+            y = conv(x)
+            scale = self.param("scale", nn.initializers.ones, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        else:
+            y, scale, bias = fused_conv_with_passports(
+                x, key.value, skey.value, conv
+            )
+            self._sow_aux(scale, b.value)
+
+        norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
+        y = apply_norm(norm, y, train)
+        y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class PassportPrivateBlock(nn.Module, _PassportMixin):
+    """V2/V3 dual-branch passport layer
+    (reference: models/layers/passportconv2d_private.py:11-219).
+
+    ind=0 (public/deployment): learned scale/bias parameters.
+    ind=1 (private/verification): scale/bias derived from the private passports.
+    One shared conv and one shared affine-free norm serve both branches —
+    running BN stats are updated by whichever branch runs. Always ReLU.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    norm_type: str = "bn"
+    key_type: str = "random"
+    alpha: float = 1.0
+    b_spec: Union[None, int, str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self, x, ind: int = 0, force_passport: bool = False, train: bool = False
+    ):
+        _tap_input(self, x)
+        conv = self._conv()
+        b = self._signature_var()
+
+        # Public affine always exists (reference: init_scale(True) in __init__).
+        pub_scale = self.param("scale", nn.initializers.ones, (self.features,))
+        pub_bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # Passports always exist so both branches share one variable tree.
+        key, skey = self._passport_vars(x)
+
+        if ind == 0 and not force_passport:
+            y = conv(x)
+            scale, bias = pub_scale, pub_bias
+        else:
+            y, scale, bias = fused_conv_with_passports(
+                x, key.value, skey.value, conv
+            )
+            self._sow_aux(scale, b.value)
+
+        norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
+        y = apply_norm(norm, y, train)
+        y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
+        return nn.relu(y)

@@ -1,0 +1,9 @@
+"""Config + logging utilities."""
+
+from deepipr_tpu.utils.config import (
+    construct_passport_kwargs,
+    load_lr_config,
+    load_passport_config,
+)
+
+__all__ = ["construct_passport_kwargs", "load_lr_config", "load_passport_config"]

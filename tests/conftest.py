@@ -7,6 +7,12 @@ XLA's host-platform device-count override. Must run before jax is imported.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Golden tests compare against torch f32; avoid XLA's relaxed default matmul
+# precision so convolutions accumulate in full f32. Set via jax.config (not env)
+# because the jaxtyping pytest plugin imports jax before this conftest runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
