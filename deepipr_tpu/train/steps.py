@@ -1,0 +1,167 @@
+"""Jitted train/eval steps for all schemes, plus signature verification.
+
+Scheme semantics (reference experiments/trainer.py, trainer_private.py):
+
+- scheme 0 (baseline) / 1 (V1 passport): one forward; loss = CE + sum of
+  per-passport-layer sign losses (V1 only; a normal model sows no aux).
+- scheme 2 (V2) / 3 (V3 backdoor): TWO forwards per batch — public ind=0 with
+  learned affine, private ind=1 with passport-derived affine; loss =
+  CE(pub) + CE(priv) + sign losses from the private branch; BN running stats
+  are updated by both forwards sequentially (trainer_private.py:159-173).
+- scheme 3 additionally concatenates a trigger-set batch onto every train
+  batch before the step (done by the caller to keep shapes static).
+
+Everything is functional: the sign loss is computed from the 'passport_aux'
+collection sown during apply, not from mutated module attributes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepipr_tpu.passport.codec import bit_accuracy
+from deepipr_tpu.passport.sign_loss import total_sign_loss
+from deepipr_tpu.train.state import TrainState
+
+
+def cross_entropy_mean(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def top1_accuracy(logits, labels):
+    """Percentage top-1 accuracy (reference accuracy(), trainer.py:28-43)."""
+    return 100.0 * jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def collect_aux(updates) -> List[Dict[str, Any]]:
+    """Flatten the sown 'passport_aux' collection into a list of aux dicts."""
+    tree = updates.get("passport_aux", {})
+    return jax.tree.leaves(
+        tree, is_leaf=lambda t: isinstance(t, dict) and "scale" in t
+    )
+
+
+def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
+    """Like collect_aux but keeps the module path, for per-layer reporting."""
+    out = []
+
+    def walk(node, path):
+        if isinstance(node, dict) and "scale" in node and "b" in node:
+            out.append((".".join(path), node))
+            return
+        if isinstance(node, (dict,)):
+            for k, v in node.items():
+                walk(v, path + [k] if k not in ("aux",) else path)
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                walk(v, path)
+
+    walk(updates.get("passport_aux", {}), [])
+    return out
+
+
+def make_train_step(model, private: bool):
+    """Build the jitted SGD train step for this model/scheme.
+
+    Returns step(state, batch) -> (new_state, metrics); batch is a dict with
+    'image' (N,H,W,C) and 'label' (N,). For V3 the trigger batch is already
+    concatenated by the data layer.
+    """
+
+    def step(state: TrainState, batch):
+        x, y = batch["image"], batch["label"]
+
+        def loss_fn(params):
+            variables = {**state.model_variables(), "params": params}
+
+            if private:
+                logits0, upd0 = model.apply(
+                    variables, x, ind=0, train=True,
+                    mutable=["batch_stats", "passport_aux"],
+                )
+                if "batch_stats" in upd0:
+                    variables = {**variables, "batch_stats": upd0["batch_stats"]}
+                logits1, upd1 = model.apply(
+                    variables, x, ind=1, train=True,
+                    mutable=["batch_stats", "passport_aux"],
+                )
+                ce = cross_entropy_mean(logits0, y) + cross_entropy_mean(logits1, y)
+                sl, sacc = total_sign_loss(collect_aux(upd1))
+                new_stats = upd1.get("batch_stats", state.batch_stats)
+                metrics = {
+                    "acc_public": top1_accuracy(logits0, y),
+                    "acc_private": top1_accuracy(logits1, y),
+                }
+            else:
+                logits, upd = model.apply(
+                    variables, x, train=True,
+                    mutable=["batch_stats", "passport_aux"],
+                )
+                ce = cross_entropy_mean(logits, y)
+                sl, sacc = total_sign_loss(collect_aux(upd))
+                new_stats = upd.get("batch_stats", state.batch_stats)
+                metrics = {"acc": top1_accuracy(logits, y)}
+
+            loss = ce + sl
+            metrics.update({"loss": ce, "sign_loss": sl, "sign_acc": sacc})
+            return loss, (new_stats, metrics)
+
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(model, ind: int = 0, force_passport: bool = False):
+    """Sum-reduced CE + correct-count eval step (reference Tester.test)."""
+
+    def step(state: TrainState, batch):
+        x, y = batch["image"], batch["label"]
+        logits = model.apply(
+            state.model_variables(), x, ind=ind, force_passport=force_passport,
+            train=False,
+        )
+        ce_sum = optax.softmax_cross_entropy_with_integer_labels(logits, y).sum()
+        correct = jnp.sum((jnp.argmax(logits, axis=-1) == y).astype(jnp.int32))
+        return {"ce_sum": ce_sum, "correct": correct}
+
+    return jax.jit(step)
+
+
+def test_signature(model, state: TrainState, input_shape, private: bool):
+    """Per-passport-layer signature detection rate: mean(sign(scale) == b).
+
+    Mirrors TesterPrivate.test_signature (trainer_private.py:37-71). The
+    derived scale depends only on (conv kernel, skey), so a zeros input of the
+    right shape drives the model once with the passport branch forced.
+    """
+    x = jnp.zeros(input_shape, jnp.float32)
+    kwargs = {"ind": 1} if private else {"force_passport": True}
+    _, upd = model.apply(
+        state.model_variables(), x, train=False,
+        mutable=["passport_aux", "batch_stats"], **kwargs,
+    )
+    prefix = "private_" if private else "public_"
+    res = {}
+    for path, aux in collect_aux_with_paths(upd):
+        res[prefix + path] = float(bit_accuracy(aux["scale"], aux["b"]))
+    return res
+
+
+def evaluate(model, state, dataset, ind: int = 0, force_passport: bool = False):
+    """Full-dataset eval loop -> {'loss': mean CE, 'acc': top-1 %}."""
+    step = make_eval_step(model, ind=ind, force_passport=force_passport)
+    ce_sum, correct, count = 0.0, 0, 0
+    for batch in dataset:
+        out = step(state, batch)
+        ce_sum += float(out["ce_sum"])
+        correct += int(out["correct"])
+        count += batch["label"].shape[0]
+    return {"loss": ce_sum / max(count, 1), "acc": 100.0 * correct / max(count, 1)}

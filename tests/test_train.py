@@ -1,0 +1,179 @@
+"""Training runtime tests: convergence, sign embedding, key setup, DP sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepipr_tpu.data import DataLoader, synthetic_dataset
+from deepipr_tpu.models import AlexNet, build_model
+from deepipr_tpu.parallel import make_mesh, replicate, shard_batch
+from deepipr_tpu.train import (
+    TrainState,
+    evaluate,
+    make_train_step,
+    multistep_lr,
+    sample_candidates,
+    setup_passports,
+    sgd_optimizer,
+)
+from deepipr_tpu.train.steps import test_signature as signature_detection
+from deepipr_tpu.utils.config import construct_passport_kwargs
+
+RNGS = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+
+
+def tiny_passport_model(private=False, sl=0.1, norm="bn"):
+    """AlexNet on 16x16 inputs with passports on layers 4,5,6."""
+    cfg = {"0": False, "2": False, "4": True, "5": True, "6": True}
+    kw, _ = construct_passport_kwargs(cfg, norm, "shuffle", sl)
+    return AlexNet(num_classes=10, passport_kwargs=kw, private=private)
+
+
+def make_state(model, x, tx=None):
+    v = model.init(RNGS, x, train=True)
+    return TrainState.create(v, tx or sgd_optimizer(0.01))
+
+
+def toy_batch(n=16, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, size, size, 3)).astype(np.float32)
+    y = (rng.integers(0, 10, n)).astype(np.int32)
+    return {"image": jnp.asarray(x), "label": jnp.asarray(y)}
+
+
+class TestTrainSteps:
+    def test_baseline_loss_decreases(self):
+        model = build_model("alexnet", 10)
+        batch = toy_batch()
+        state = make_state(model, batch["image"], sgd_optimizer(0.05))
+        step = make_train_step(model, private=False)
+        state, m0 = step(state, batch)
+        for _ in range(20):
+            state, m = step(state, batch)
+        assert float(m["loss"]) < float(m0["loss"])
+        assert float(m["sign_loss"]) == 0.0  # no passport layers
+
+    def test_v1_sign_acc_reaches_one(self):
+        model = tiny_passport_model()
+        batch = toy_batch()
+        state = make_state(model, batch["image"], sgd_optimizer(0.05))
+        step = make_train_step(model, private=False)
+        for _ in range(40):
+            state, m = step(state, batch)
+        assert float(m["sign_acc"]) == 1.0
+        assert float(m["sign_loss"]) < 0.1
+
+    def test_v2_dual_branch_trains_both(self):
+        model = tiny_passport_model(private=True)
+        batch = toy_batch()
+        state = make_state(model, batch["image"], sgd_optimizer(0.05))
+        step = make_train_step(model, private=True)
+        state, m0 = step(state, batch)
+        for _ in range(40):
+            state, m = step(state, batch)
+        assert float(m["sign_acc"]) == 1.0
+        assert float(m["loss"]) < float(m0["loss"])
+        assert "acc_public" in m and "acc_private" in m
+
+    def test_v2_signature_detection_after_training(self):
+        model = tiny_passport_model(private=True)
+        batch = toy_batch()
+        state = make_state(model, batch["image"], sgd_optimizer(0.05))
+        step = make_train_step(model, private=True)
+        for _ in range(40):
+            state, _ = step(state, batch)
+        res = signature_detection(model, state, (1, 16, 16, 3), private=True)
+        assert len(res) == 3
+        assert all(v == 1.0 for v in res.values()), res
+
+    def test_step_counter_and_schedule(self):
+        lr = multistep_lr(0.1, {"type": "steps", "steps": [1, 2], "gamma": 0.1}, 2)
+        assert lr(0) == pytest.approx(0.1)
+        assert lr(2) == pytest.approx(0.01)
+        assert lr(4) == pytest.approx(0.001)
+        const = multistep_lr(0.1, {"type": "steps", "steps": [], "gamma": 0.0}, 2)
+        assert const == 0.1
+
+
+class TestKeySetup:
+    def test_passports_replaced_with_activation_shuffles(self):
+        kw, _ = construct_passport_kwargs(
+            {"0": False, "2": False, "4": True, "5": True, "6": True},
+            "bn", "shuffle", 0.1,
+        )
+        passport_model = AlexNet(num_classes=10, passport_kwargs=kw)
+        normal_model = AlexNet(num_classes=10)
+        x = jnp.zeros((2, 16, 16, 3))
+        pv = passport_model.init(RNGS, x, train=True)
+        nv = normal_model.init(RNGS, x, train=True)
+
+        images = np.random.default_rng(0).normal(size=(64, 16, 16, 3)).astype(np.float32)
+        kx = sample_candidates(images, 20, seed=1)
+        ky = sample_candidates(images, 20, seed=2)
+        new_pp = setup_passports(normal_model, nv, pv["passport"], kx, ky, seed=3)
+
+        for layer in ("features_4", "features_5", "features_6"):
+            old = np.asarray(pv["passport"][layer]["key"])
+            new = np.asarray(new_pp[layer]["key"])
+            assert new.shape == old.shape
+            assert not np.allclose(new, old)
+            # skey drawn from different candidates than key
+            assert not np.allclose(new, np.asarray(new_pp[layer]["skey"]))
+
+        # model must run with the new passports
+        v2 = dict(pv)
+        v2["passport"] = new_pp
+        y, _ = passport_model.apply(v2, x, mutable=["batch_stats"])
+        assert y.shape == (2, 10)
+
+    def test_key_type_image_single_candidate(self):
+        kw, _ = construct_passport_kwargs({"0": False, "2": False, "4": True,
+                                           "5": True, "6": True}, "bn", "image", 0.1)
+        pm = AlexNet(num_classes=10, passport_kwargs=kw)
+        nm = AlexNet(num_classes=10)
+        x = jnp.zeros((1, 16, 16, 3))
+        pv = pm.init(RNGS, x, train=True)
+        nv = nm.init(RNGS, x, train=True)
+        img = np.random.default_rng(0).normal(size=(1, 16, 16, 3)).astype(np.float32)
+        new_pp = setup_passports(nm, nv, pv["passport"], img, img, seed=0)
+        assert np.asarray(new_pp["features_4"]["key"]).shape[0] == 1
+
+
+class TestDataLoader:
+    def test_loader_shapes_and_determinism(self):
+        tx, ty, vx, vy = synthetic_dataset(num_train=64, num_test=32, size=16)
+        dl = DataLoader(tx, ty, 16, shuffle=True, train_augment=True,
+                        drop_last=True, seed=0)
+        batches = list(dl)
+        assert len(batches) == 4
+        assert batches[0]["image"].shape == (16, 16, 16, 3)
+        assert batches[0]["image"].dtype == np.float32
+        # second epoch shuffles differently
+        b2 = list(dl)
+        assert not np.allclose(batches[0]["image"], b2[0]["image"])
+
+    def test_eval_loop(self):
+        model = build_model("alexnet", 10)
+        tx, ty, vx, vy = synthetic_dataset(num_train=64, num_test=32, size=16)
+        state = make_state(model, jnp.zeros((1, 16, 16, 3)))
+        dl = DataLoader(vx, vy, 16)
+        out = evaluate(model, state, dl)
+        assert 0.0 <= out["acc"] <= 100.0 and out["loss"] > 0
+
+
+class TestSharding:
+    def test_dp_train_step_on_8_device_mesh(self):
+        """Full V2 train step over an 8-device mesh: batch sharded, state
+        replicated, XLA inserts the gradient all-reduce."""
+        assert jax.device_count() >= 8
+        mesh = make_mesh()
+        model = tiny_passport_model(private=True)
+        batch = toy_batch(n=16)
+        state = make_state(model, batch["image"])
+        state = replicate(state, mesh)
+        batch = shard_batch(batch, mesh)
+        step = make_train_step(model, private=True)
+        state, m = step(state, batch)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
