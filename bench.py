@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""North-star benchmark: ResNet-18 V2 passport training throughput on TPU.
+
+Measures images/sec/chip of the full V2 training step (dual public/private
+forward, CE + sign loss, SGD) on CIFAR shapes, on the default JAX platform
+(the real TPU chip under the driver). Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": R}
+
+vs_baseline is the ratio against the torch-CPU measurement stored in
+benchmarks/baseline_torch_cpu.json (regenerate with
+benchmarks/torch_cpu_baseline.py). Target from BASELINE.md: >= 5x.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(batch_size=256, steps=30, warmup=5):
+    from deepipr_tpu.models import ResNet18Private
+    from deepipr_tpu.train.schedule import sgd_optimizer
+    from deepipr_tpu.train.state import TrainState
+    from deepipr_tpu.train.steps import make_train_step
+    from deepipr_tpu.utils.config import construct_passport_kwargs, load_passport_config
+
+    cfg = load_passport_config(
+        os.path.join(os.path.dirname(__file__), "passport_configs/resnet18_passport.json")
+    )
+    kwargs, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+    model = ResNet18Private(num_classes=10, passport_kwargs=kwargs)
+
+    rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+    x = jax.random.normal(jax.random.key(2), (batch_size, 32, 32, 3), jnp.float32)
+    y = jax.random.randint(jax.random.key(3), (batch_size,), 0, 10)
+    variables = model.init(rngs, x, train=True)
+    state = TrainState.create(variables, sgd_optimizer(0.01))
+    batch = {"image": x, "label": y}
+
+    step = make_train_step(model, private=True)
+
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # full host sync (block_until_ready is unreliable
+    # on relayed device platforms; a value fetch forces real completion)
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    dt = time.time() - t0
+
+    n_chips = jax.device_count()
+    ips = batch_size * steps / dt / n_chips
+
+    baseline_path = os.path.join(
+        os.path.dirname(__file__), "benchmarks", "baseline_torch_cpu.json"
+    )
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            vs = ips / json.load(f)["images_per_sec"]
+
+    print(json.dumps({
+        "metric": "images/sec/chip (ResNet-18 V2 passport train, CIFAR-10)",
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,343 @@
+"""Experiment orchestration: directories, config, training loops for all schemes.
+
+Mirrors the reference's Experiment / ClassificationExperiment /
+ClassificationPrivateExperiment (experiments/base.py, classification.py,
+classification_private.py):
+
+- scheme derived from flags: --train-passport -> 1, --train-private -> 2,
+  + --train-backdoor -> 3, else 0 (base.py:48-55)
+- logdir layout logs/{arch}_{dataset}_v{scheme}[_{tag}]/{expid} with
+  auto-incrementing expid; config.json dump; buffered CSV history
+- per-epoch: train -> valid -> (wm test) -> signature -> CSV -> best/last ckpt
+- V2/V3 select the best checkpoint on (acc_public + acc_private)/2
+  (classification_private.py:151)
+
+TPU-native differences: jitted epoch body with device-resident state, full
+TrainState checkpoints, explicit PRNG seeds everywhere.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepipr_tpu.data.datasets import (
+    CyclingIterator,
+    DataLoader,
+    prepare_dataset,
+    prepare_wm,
+)
+from deepipr_tpu.models.registry import NUM_CLASSES, build_model
+from deepipr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from deepipr_tpu.train.keys import sample_candidates, setup_passports
+from deepipr_tpu.train.schedule import multistep_lr, sgd_optimizer
+from deepipr_tpu.train.state import TrainState
+from deepipr_tpu.train.steps import (
+    make_eval_step,
+    make_signature_fn,
+    make_train_step,
+    run_eval,
+)
+from deepipr_tpu.utils.checkpoint import load_state, save_state
+from deepipr_tpu.utils.config import construct_passport_kwargs
+
+
+def derive_scheme(args: Dict) -> int:
+    if args.get("train_passport"):
+        return 1
+    if args.get("train_private") and not args.get("train_backdoor"):
+        return 2
+    if args.get("train_private") and args.get("train_backdoor"):
+        return 3
+    return 0
+
+
+class Experiment:
+    """Directory layout, config dump, CSV history (reference experiments/base.py)."""
+
+    def __init__(self, args: Dict):
+        self.args = dict(args)
+        self.arch = args["arch"]
+        self.dataset = args["dataset"]
+        self.epochs = args["epochs"]
+        self.batch_size = args["batch_size"]
+        self.lr = args["lr"]
+        self.tag = args.get("tag")
+        self.save_interval = args.get("save_interval", 0)
+        self.scheme = derive_scheme(args)
+        self.norm_type = args["norm_type"]
+        self.key_type = args["key_type"]
+        self.sl_ratio = args["sign_loss"]
+        self.use_trigger_as_passport = args.get("use_trigger_as_passport", False)
+        self.train_backdoor = args.get("train_backdoor", False)
+        self.is_tl = args.get("transfer_learning", False)
+        self.tl_dataset = args.get("tl_dataset", "cifar100")
+        self.tl_scheme = args.get("tl_scheme", "rtal")
+        self.pretrained_path = args.get("pretrained_path")
+        self.seed = args.get("seed", 0)
+
+        with open(args["lr_config"]) as f:
+            self.lr_config = json.load(f)
+        with open(args["passport_config"]) as f:
+            self.passport_config = json.load(f)
+
+        self.imgcrop = 224 if self.dataset == "imagenet1000" else 32
+        self.in_channels = 3
+        self.num_classes = NUM_CLASSES[self.dataset]
+
+        logroot = args.get("logdir", "logs")
+        self.logdir = f"{logroot}/{self.arch}_{self.dataset}_v{self.scheme}"
+        if self.tag:
+            self.logdir += f"_{self.tag}"
+
+        self._csv_first = True
+
+    def makedirs_or_load(self):
+        os.makedirs(self.logdir, exist_ok=True)
+        existing = [
+            int(d) for d in os.listdir(self.logdir)
+            if os.path.isdir(os.path.join(self.logdir, d)) and d.isdigit()
+        ]
+        expid = min(set(range(1, max(existing, default=0) + 2)) - set(existing))
+        self.logdir = os.path.join(self.logdir, str(expid))
+        os.makedirs(os.path.join(self.logdir, "models"), exist_ok=True)
+        with open(os.path.join(self.logdir, "config.json"), "w") as f:
+            json.dump(self.args, f, indent=4)
+
+    def append_history(self, metrics: Dict):
+        path = os.path.join(self.logdir, "history.csv")
+        cols = sorted(metrics.keys())
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if self._csv_first:
+                w.writerow(cols)
+                self._csv_first = False
+            w.writerow([metrics[c] for c in cols])
+
+
+class ClassificationExperiment(Experiment):
+    """All four schemes; `private` follows from the scheme."""
+
+    def __init__(self, args: Dict):
+        super().__init__(args)
+        self.private = self.scheme in (2, 3)
+
+        self.train_data, self.valid_data = prepare_dataset(self.args)
+        self.wm_data: Optional[DataLoader] = None
+        if self.train_backdoor:
+            self.wm_data = prepare_wm(
+                self.args.get("trigger_path", "data/trigger_set/pics"),
+                crop=self.imgcrop,
+            )
+        if self.use_trigger_as_passport:
+            self.passport_data = prepare_wm(
+                self.args.get("trigger_path", "data/trigger_set/pics"),
+                crop=self.imgcrop,
+            )
+        else:
+            self.passport_data = self.valid_data
+
+        self.mesh = make_mesh() if args.get("use_mesh", True) else None
+
+        self._construct_model()
+        self.makedirs_or_load()
+
+    # ------------------------------------------------------------------ model
+
+    def _construct_model(self):
+        use_passport = self.scheme != 0
+        if use_passport:
+            self.passport_kwargs, self.plkeys = construct_passport_kwargs(
+                self.passport_config, self.norm_type, self.key_type, self.sl_ratio
+            )
+        else:
+            self.passport_kwargs, self.plkeys = None, []
+
+        self.model = build_model(
+            self.arch, self.num_classes, self.norm_type,
+            passport_kwargs=self.passport_kwargs, private=self.private,
+            imagenet=self.dataset == "imagenet1000",
+        )
+
+        rngs = {
+            "params": jax.random.key(self.seed),
+            "passport": jax.random.key(self.seed + 1),
+        }
+        sample = jnp.zeros(
+            (1, self.imgcrop, self.imgcrop, self.in_channels), jnp.float32
+        )
+        variables = self.model.init(rngs, sample, train=True)
+
+        steps_per_epoch = len(self.train_data)
+        schedule = multistep_lr(self.lr, self.lr_config, steps_per_epoch)
+        tx = sgd_optimizer(schedule, momentum=0.9, weight_decay=1e-4)
+        self.state = TrainState.create(variables, tx)
+
+        if self.pretrained_path and self.scheme == 0:
+            self.state = load_state(self.pretrained_path, self.state)
+
+        if use_passport and self.key_type != "random":
+            self._setup_keys()
+
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+        # Compile once; reuse across epochs (re-jitting per epoch would pay
+        # the full XLA compile on every evaluation pass).
+        self.train_step = make_train_step(self.model, private=self.private)
+        self.eval_steps = {0: make_eval_step(self.model, ind=0)}
+        if self.private:
+            self.eval_steps[1] = make_eval_step(self.model, ind=1)
+        self.signature_fn = None
+        if self.scheme != 0:
+            shape = (1, self.imgcrop, self.imgcrop, self.in_channels)
+            self.signature_fn = make_signature_fn(
+                self.model, shape, private=self.private
+            )
+
+    def _setup_keys(self):
+        """Reference setup_keys (classification.py:130-140): sample candidate
+        images, run them through a pretrained NORMAL model, snapshot per-layer
+        activations as passports."""
+        pretrained = build_model(
+            self.arch, self.num_classes, self.norm_type,
+            imagenet=self.dataset == "imagenet1000",
+        )
+        rngs = {"params": jax.random.key(self.seed + 2)}
+        sample = jnp.zeros(
+            (1, self.imgcrop, self.imgcrop, self.in_channels), jnp.float32
+        )
+        pvars = pretrained.init(rngs, sample, train=True)
+        if self.pretrained_path:
+            ptmpl = TrainState.create(pvars, sgd_optimizer(0.0))
+            ptmpl = load_state(self.pretrained_path, ptmpl)
+            pvars = ptmpl.model_variables()
+        else:
+            print(
+                "WARNING: no --pretrained-path; deriving passports from a "
+                "randomly initialized model (the reference would download a "
+                "torchvision-pretrained one)."
+            )
+
+        n = 1 if self.key_type == "image" else 20
+        images = self._passport_candidates()
+        kx = sample_candidates(images, n, seed=self.seed + 10)
+        ky = sample_candidates(images, n, seed=self.seed + 11)
+        new_pp = setup_passports(
+            pretrained, pvars, jax.device_get(self.state.passport),
+            kx, ky, seed=self.seed + 12,
+        )
+        self.state = self.state.replace(passport=new_pp)
+
+    def _passport_candidates(self) -> np.ndarray:
+        """Normalized images from the passport source (val set or trigger set)."""
+        batches = []
+        total = 0
+        for b in self.passport_data:
+            batches.append(b["image"])
+            total += len(b["image"])
+            if total >= 256:
+                break
+        return np.concatenate(batches)
+
+    # --------------------------------------------------------------- training
+
+    def _train_epoch(self, ep: int) -> Dict:
+        t0 = time.time()
+        sums: Dict[str, float] = {}
+        count = 0
+        wm_iter = CyclingIterator(self.wm_data) if self.wm_data else None
+        for batch in self.train_data:
+            if wm_iter is not None:
+                wb = wm_iter.next()
+                batch = {
+                    "image": np.concatenate([batch["image"], wb["image"]]),
+                    "label": np.concatenate([batch["label"], wb["label"]]),
+                }
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, batch)
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        out["time"] = time.time() - t0
+        return out
+
+    def _valid_metrics(self) -> Dict:
+        if self.private:
+            pub = run_eval(self.eval_steps[0], self.state, self.valid_data)
+            priv = run_eval(self.eval_steps[1], self.state, self.valid_data)
+            out = {
+                "loss_public": pub["loss"], "acc_public": pub["acc"],
+                "loss_private": priv["loss"], "acc_private": priv["acc"],
+                "total_acc": (pub["acc"] + priv["acc"]) / 2,
+            }
+        else:
+            out = run_eval(self.eval_steps[0], self.state, self.valid_data)
+        return out
+
+    def _signature_metrics(self) -> Dict:
+        if self.signature_fn is None:
+            return {}
+        return self.signature_fn(self.state)
+
+    def save_model(self, name: str):
+        save_state(os.path.join(self.logdir, "models", name), self.state)
+
+    def load_model(self, name_or_path: str):
+        path = (
+            name_or_path
+            if os.path.exists(name_or_path)
+            else os.path.join(self.logdir, "models", name_or_path)
+        )
+        self.state = load_state(path, self.state)
+
+    def training(self):
+        best = float("-inf")
+        print(f"Start training: scheme {self.scheme}, logdir {self.logdir}")
+        for ep in range(1, self.epochs + 1):
+            train_metrics = self._train_epoch(ep)
+            valid_metrics = self._valid_metrics()
+            wm_metrics = {}
+            if self.train_backdoor and self.wm_data is not None:
+                wm_metrics = run_eval(self.eval_steps[0], self.state, self.wm_data)
+            sig = self._signature_metrics()
+
+            metrics = {f"train_{k}": v for k, v in train_metrics.items()}
+            metrics.update({f"valid_{k}": v for k, v in valid_metrics.items()})
+            metrics.update({f"wm_{k}": v for k, v in wm_metrics.items()})
+            metrics.update({f"s_{k}": v for k, v in sig.items()})
+            self.append_history(metrics)
+
+            crit = (
+                metrics["valid_total_acc"]
+                if self.private
+                else metrics["valid_acc"]
+            )
+            line = (
+                f"Epoch {ep:3d} "
+                + " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(train_metrics.items())
+                )
+                + f" | valid={crit:.2f}"
+            )
+            print(line)
+
+            if self.save_interval and ep % self.save_interval == 0:
+                self.save_model(f"epoch-{ep}.ckpt")
+            if crit > best:
+                best = crit
+                self.save_model("best.ckpt")
+            self.save_model("last.ckpt")
+        return best
+
+    def evaluate_only(self):
+        return self._valid_metrics()

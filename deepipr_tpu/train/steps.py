@@ -135,29 +135,42 @@ def make_eval_step(model, ind: int = 0, force_passport: bool = False):
     return jax.jit(step)
 
 
-def test_signature(model, state: TrainState, input_shape, private: bool):
-    """Per-passport-layer signature detection rate: mean(sign(scale) == b).
+def make_signature_fn(model, input_shape, private: bool):
+    """Build a jitted signature-detection pass; call it with a TrainState.
 
     Mirrors TesterPrivate.test_signature (trainer_private.py:37-71). The
     derived scale depends only on (conv kernel, skey), so a zeros input of the
     right shape drives the model once with the passport branch forced.
+    Returns {layer_path: detection_rate}.
     """
-    x = jnp.zeros(input_shape, jnp.float32)
     kwargs = {"ind": 1} if private else {"force_passport": True}
-    _, upd = model.apply(
-        state.model_variables(), x, train=False,
-        mutable=["passport_aux", "batch_stats"], **kwargs,
-    )
     prefix = "private_" if private else "public_"
-    res = {}
-    for path, aux in collect_aux_with_paths(upd):
-        res[prefix + path] = float(bit_accuracy(aux["scale"], aux["b"]))
-    return res
+
+    @jax.jit
+    def run(state: TrainState):
+        x = jnp.zeros(input_shape, jnp.float32)
+        _, upd = model.apply(
+            state.model_variables(), x, train=False,
+            mutable=["passport_aux", "batch_stats"], **kwargs,
+        )
+        return {
+            prefix + path: bit_accuracy(aux["scale"], aux["b"])
+            for path, aux in collect_aux_with_paths(upd)
+        }
+
+    def fn(state: TrainState):
+        return {k: float(v) for k, v in run(state).items()}
+
+    return fn
 
 
-def evaluate(model, state, dataset, ind: int = 0, force_passport: bool = False):
-    """Full-dataset eval loop -> {'loss': mean CE, 'acc': top-1 %}."""
-    step = make_eval_step(model, ind=ind, force_passport=force_passport)
+def test_signature(model, state: TrainState, input_shape, private: bool):
+    """One-shot convenience wrapper around make_signature_fn."""
+    return make_signature_fn(model, input_shape, private)(state)
+
+
+def run_eval(step, state, dataset):
+    """Drive a prebuilt eval step over a dataset -> {'loss', 'acc'}."""
     ce_sum, correct, count = 0.0, 0, 0
     for batch in dataset:
         out = step(state, batch)
@@ -165,3 +178,10 @@ def evaluate(model, state, dataset, ind: int = 0, force_passport: bool = False):
         correct += int(out["correct"])
         count += batch["label"].shape[0]
     return {"loss": ce_sum / max(count, 1), "acc": 100.0 * correct / max(count, 1)}
+
+
+def evaluate(model, state, dataset, ind: int = 0, force_passport: bool = False):
+    """One-shot full-dataset eval (builds a fresh jitted step; prefer
+    make_eval_step + run_eval inside loops)."""
+    step = make_eval_step(model, ind=ind, force_passport=force_passport)
+    return run_eval(step, state, dataset)

@@ -1,0 +1,29 @@
+"""Checkpointing: full-train-state serialization.
+
+Unlike the reference (weights-only .pth, no optimizer/scheduler/epoch state —
+experiments/base.py:139-150, so true resume does not exist), checkpoints here
+carry the complete TrainState: params, BN stats, passports, signatures,
+optimizer state, and step counter.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import flax.serialization
+import jax
+
+
+def save_state(path: str, state: Any) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(host_state))
+
+
+def load_state(path: str, template: Any) -> Any:
+    """Restore into a template with identical tree structure (e.g. a freshly
+    created TrainState)."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())

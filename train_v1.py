@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Train baseline (scheme 0) or V1 passport (scheme 1) models.
+
+CLI mirrors the reference train_v1.py flags; extras: --dataset synthetic
+(offline stand-in), --data-root, --seed, --logdir.
+"""
+
+import argparse
+from pprint import pprint
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="alexnet",
+                   choices=["alexnet", "resnet", "resnet9"],
+                   help="architecture (default: alexnet)")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--dataset", default="cifar10",
+                   choices=["cifar10", "cifar100", "caltech-101",
+                            "caltech-256", "imagenet1000", "synthetic"])
+    p.add_argument("--norm-type", default="bn",
+                   choices=["bn", "gn", "in", "none"])
+
+    # passport arguments
+    p.add_argument("--key-type", choices=["random", "image", "shuffle"],
+                   default="shuffle")
+    p.add_argument("--sign-loss", type=float, default=0.1)
+    p.add_argument("--use-trigger-as-passport", action="store_true",
+                   default=False)
+
+    p.add_argument("--train-passport", action="store_true", default=False)
+    p.add_argument("--train-backdoor", action="store_true", default=False)
+    p.add_argument("--train-private", action="store_true", default=False)
+
+    # paths
+    p.add_argument("--pretrained-path")
+    p.add_argument("--lr-config", default="lr_configs/default.json")
+    p.add_argument("--passport-config",
+                   default="passport_configs/alexnet_passport.json")
+    p.add_argument("--trigger-path", default="data/trigger_set/pics")
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--logdir", default="logs")
+
+    # misc
+    p.add_argument("--save-interval", type=int, default=0)
+    p.add_argument("--eval", action="store_true", default=False)
+    p.add_argument("--exp-id", type=int, default=1)
+    p.add_argument("--tag")
+    p.add_argument("--seed", type=int, default=0)
+
+    # transfer learning
+    p.add_argument("--transfer-learning", action="store_true", default=False)
+    p.add_argument("--tl-dataset", default="cifar100",
+                   choices=["cifar10", "cifar100", "caltech-101",
+                            "caltech-256", "imagenet1000", "synthetic"])
+    p.add_argument("--tl-scheme", default="rtal", choices=["rtal", "ftal"])
+    return p
+
+
+def main():
+    args = vars(build_parser().parse_args())
+    pprint(args)
+
+    from deepipr_tpu.train.experiment import ClassificationExperiment
+
+    exp = ClassificationExperiment(args)
+    if args["eval"]:
+        print(exp.evaluate_only())
+    elif exp.is_tl:
+        from deepipr_tpu.train.transfer import transfer_learning
+
+        transfer_learning(exp)
+    else:
+        exp.training()
+    print("Training done at", exp.logdir)
+
+
+if __name__ == "__main__":
+    main()
