@@ -1,0 +1,126 @@
+"""Shared CLI plumbing for the attack scripts (mirrors the reference's
+setup blocks in passport_attack_*.py / pruning_attack.py / flip_attack.py)."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from deepipr_tpu.data.datasets import prepare_dataset
+from deepipr_tpu.models.registry import build_model
+from deepipr_tpu.train.schedule import sgd_optimizer
+from deepipr_tpu.train.state import TrainState
+from deepipr_tpu.utils.checkpoint import load_state
+from deepipr_tpu.utils.config import construct_passport_kwargs
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--arch", default="alexnet",
+                   choices=["alexnet", "resnet18", "resnet", "resnet9"])
+    p.add_argument("--dataset", default="cifar10",
+                   choices=["cifar10", "cifar100", "imagenet1000", "synthetic"])
+    p.add_argument("--scheme", default=1, choices=[1, 2, 3], type=int)
+    p.add_argument("--loadpath", default="", help="checkpoint to attack")
+    p.add_argument("--passport-config",
+                   default="passport_configs/alexnet_passport.json")
+    p.add_argument("--norm-type", default="bn")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--tagnum", default=1, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--data-root", default="data")
+    return p
+
+
+def nclass_for(dataset: str) -> int:
+    return {"cifar100": 100, "imagenet1000": 1000}.get(dataset, 10)
+
+
+def load_attacked_model(args, learnable_affine: bool = False):
+    """(model, state, passport_kwargs, plkeys) for the checkpoint under attack.
+
+    learnable_affine=True rebuilds V1 passport layers with explicit scale/bias
+    parameters (the reference's init_scale(True)); the checkpoint — saved
+    without them — is loaded into the plain model first, then transplanted.
+    """
+    arch = "resnet" if args.arch == "resnet18" else args.arch
+    with open(args.passport_config) as f:
+        cfg = json.load(f)
+    passport_kwargs, plkeys = construct_passport_kwargs(
+        cfg, args.norm_type, "shuffle", 0.1
+    )
+    private = args.scheme != 1
+    nclass = nclass_for(args.dataset)
+    size = 224 if args.dataset == "imagenet1000" else 32
+    rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+    sample = jnp.zeros((1, size, size, 3))
+
+    def build(kwargs):
+        m = build_model(
+            arch, nclass, args.norm_type, passport_kwargs=kwargs,
+            private=private, imagenet=args.dataset == "imagenet1000",
+        )
+        v = m.init(rngs, sample, train=True)
+        return m, TrainState.create(v, sgd_optimizer(args.lr))
+
+    model, state = build(passport_kwargs)
+    if args.loadpath:
+        state = load_state(args.loadpath, state)
+
+    if learnable_affine and not private:
+        from deepipr_tpu.interop.surgery import copy_matching
+
+        _mark_learnable(passport_kwargs)
+        model, la_state = build(passport_kwargs)
+        state = la_state.replace(
+            params=copy_matching(state.params, la_state.params),
+            batch_stats=state.batch_stats,
+            passport=state.passport,
+            signature=state.signature,
+        )
+    return model, state, passport_kwargs, plkeys, private, size
+
+
+def _mark_learnable(passport_kwargs: Dict):
+    for v in passport_kwargs.values():
+        if isinstance(v, dict) and "flag" in v:
+            if v["flag"]:
+                v["learnable_affine"] = True
+        elif isinstance(v, dict):
+            _mark_learnable(v)
+
+
+def make_loaders(args):
+    return prepare_dataset({
+        "transfer_learning": False,
+        "dataset": args.dataset,
+        "tl_dataset": "",
+        "batch_size": args.batch_size,
+        "data_root": args.data_root,
+        "seed": args.seed,
+    })
+
+
+def write_history_csv(history: List[Dict], dirname: str, filename: str):
+    os.makedirs(dirname, exist_ok=True)
+    path = os.path.join(dirname, filename)
+    cols = sorted({k for row in history for k in row})
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        for row in history:
+            w.writerow([row.get(c, "") for c in cols])
+    print("history written to", path)
+
+
+def attack_logdir(kind: str, loadpath: str) -> str:
+    parts = loadpath.split("/")
+    mid = "/".join(parts[1:3]) if len(parts) >= 3 else "run"
+    return f"logs/{kind}/{mid}"

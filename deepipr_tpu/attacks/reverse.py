@@ -1,0 +1,153 @@
+"""Attack 2 — reverse-engineer scale/bias (reference passport_attack_2.py).
+
+The attacker builds a NORMAL model from a trained passport checkpoint: conv
+weights copied, each passport layer's derived scale/bias materialized into the
+norm affine. All weights are frozen EXCEPT those norm affines; a fraction of
+the scale signs is flipped (values replaced by +-1 signs — the reference's
+quirk at passport_attack_2.py:273-281 — and the biases zeroed), then only the
+affines are retrained to recover accuracy.
+
+TPU-native: the trainable subset is expressed with optax.masked over the param
+tree — no requires_grad mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepipr_tpu.attacks.common import derived_affines, global_sign_flip
+from deepipr_tpu.interop.surgery import passport_to_normal
+from deepipr_tpu.train.state import TrainState
+from deepipr_tpu.train.steps import (
+    cross_entropy_mean,
+    make_eval_step,
+    run_eval,
+    top1_accuracy,
+)
+from deepipr_tpu.utils.tree import flatten_paths, unflatten_paths
+
+
+def build_attacked_normal_state(
+    passport_model,
+    passport_state,
+    normal_model,
+    input_shape,
+    private: bool,
+    plpaths: List[str],
+    flipperc: float,
+    lr: float = 0.01,
+    seed: int = 0,
+):
+    """Construct the attacker's normal model state + masked optimizer."""
+    rngs = {"params": jax.random.key(seed)}
+    nvars = normal_model.init(rngs, jnp.zeros(input_shape, jnp.float32),
+                              train=True)
+    affines = derived_affines(
+        passport_model, passport_state.model_variables(), input_shape, private
+    )
+    params, stats = passport_to_normal(
+        passport_state.params, passport_state.batch_stats, affines,
+        nvars["params"], nvars.get("batch_stats", {}), plpaths,
+    )
+
+    # zero biases + flip perc of scale signs (values become +-1)
+    flat = dict(flatten_paths(params))
+    scales = [np.asarray(flat[f"{p}/bn/scale"]).copy() for p in plpaths]
+    flipped, similarity = global_sign_flip(
+        scales, flipperc, seed=seed + 1, to_unit_signs=True
+    )
+    for p, w in zip(plpaths, flipped):
+        flat[f"{p}/bn/scale"] = jnp.asarray(w)
+        flat[f"{p}/bn/bias"] = jnp.zeros_like(flat[f"{p}/bn/bias"])
+    params = unflatten_paths(flat)
+
+    # only the passport layers' bn affines are trainable
+    trainable_paths = {f"{p}/bn/scale" for p in plpaths} | {
+        f"{p}/bn/bias" for p in plpaths
+    }
+    mask = unflatten_paths(
+        {k: k in trainable_paths for k in flatten_paths(params)}
+    )
+    tx = optax.masked(
+        optax.chain(
+            optax.add_decayed_weights(5e-4),
+            optax.trace(decay=0.9),
+            optax.scale_by_learning_rate(lr),
+        ),
+        mask,
+    )
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    state = TrainState.create(variables, tx)
+    return state, similarity
+
+
+def make_affine_train_step(model):
+    """Plain CE train step on the normal model (only masked params move)."""
+
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            variables = {**state.model_variables(), "params": params}
+            logits, upd = model.apply(
+                variables, batch["image"], train=True, mutable=["batch_stats"]
+            )
+            ce = cross_entropy_mean(logits, batch["label"])
+            return ce, (upd.get("batch_stats", state.batch_stats),
+                        {"loss": ce, "acc": top1_accuracy(logits, batch["label"])})
+
+        (_, (stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return state.apply_gradients(grads).replace(batch_stats=stats), metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def reverse_attack(
+    passport_model,
+    passport_state,
+    normal_model,
+    train_data,
+    valid_data,
+    input_shape,
+    private: bool,
+    plpaths: List[str],
+    flipperc: float = 0.0,
+    epochs: int = 100,
+    lr: float = 0.01,
+    seed: int = 0,
+) -> List[Dict]:
+    """Full attack-2 loop; one history row per epoch (+ epoch-0 baseline)."""
+    state, similarity = build_attacked_normal_state(
+        passport_model, passport_state, normal_model, input_shape,
+        private, plpaths, flipperc, lr, seed,
+    )
+    eval_step = make_eval_step(normal_model)
+    step = make_affine_train_step(normal_model)
+
+    history: List[Dict] = []
+    val = run_eval(eval_step, state, valid_data)
+    history.append({"epoch": 0, "similarity": similarity,
+                    **{f"valid_{k}": v for k, v in val.items()}})
+
+    for ep in range(1, epochs + 1):
+        sums: Dict[str, float] = {}
+        nb = 0
+        for batch in train_data:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, batch)
+            nb += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        row = {f"train_{k}": v / nb for k, v in sums.items()}
+        val = run_eval(eval_step, state, valid_data)
+        row.update({f"valid_{k}": v for k, v in val.items()})
+        row["epoch"] = ep
+        history.append(row)
+    return history

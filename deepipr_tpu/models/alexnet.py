@@ -67,7 +67,11 @@ def _make_feature_block(
             dtype=dtype,
             name=name,
         )
-        return PassportPrivateBlock(**common) if private else PassportBlock(**common)
+        if private:
+            return PassportPrivateBlock(**common)
+        return PassportBlock(
+            learnable_affine=layer_kwargs.get("learnable_affine", False), **common
+        )
     nt = layer_kwargs["norm_type"] if layer_kwargs is not None else norm_type
     return ConvBlock(
         features=features,

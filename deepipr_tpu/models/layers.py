@@ -129,12 +129,12 @@ class _PassportMixin:
             name="conv",
         )
 
-    def _sow_aux(self, scale, b):
+    def _sow_aux(self, scale, bias, b):
         if self.alpha != 0 and not self.is_initializing():
             self.sow(
                 "passport_aux",
                 "aux",
-                {"scale": scale, "b": b, "alpha": self.alpha},
+                {"scale": scale, "bias": bias, "b": b, "alpha": self.alpha},
             )
 
 
@@ -175,7 +175,7 @@ class PassportBlock(nn.Module, _PassportMixin):
             y, scale, bias = fused_conv_with_passports(
                 x, key.value, skey.value, conv
             )
-            self._sow_aux(scale, b.value)
+            self._sow_aux(scale, bias, b.value)
 
         norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
         y = apply_norm(norm, y, train)
@@ -226,7 +226,7 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
             y, scale, bias = fused_conv_with_passports(
                 x, key.value, skey.value, conv
             )
-            self._sow_aux(scale, b.value)
+            self._sow_aux(scale, bias, b.value)
 
         norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
         y = apply_norm(norm, y, train)

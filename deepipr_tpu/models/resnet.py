@@ -55,7 +55,11 @@ def _make_block(
         if private:
             # PassportPrivateBlock always applies ReLU (reference :66)
             return PassportPrivateBlock(**common)
-        return PassportBlock(relu=relu, **common)
+        return PassportBlock(
+            relu=relu,
+            learnable_affine=layer_kwargs.get("learnable_affine", False),
+            **common,
+        )
     nt = layer_kwargs["norm_type"] if layer_kwargs is not None else norm_type
     return ConvBlock(
         features=features, kernel_size=k, strides=s, padding=p,

@@ -51,7 +51,7 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
 
     def walk(node, path):
         if isinstance(node, dict) and "scale" in node and "b" in node:
-            out.append((".".join(path), node))
+            out.append(("/".join(path), node))
             return
         if isinstance(node, (dict,)):
             for k, v in node.items():

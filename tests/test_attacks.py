@@ -1,0 +1,146 @@
+"""Attack suite tests on a small trained V2 model.
+
+The canonical robustness claims are asserted end-to-end:
+- genuine passports: high accuracy + 100% signature detection
+- random fake passports (attack 1): accuracy collapses
+- pruning: signature detection degrades gracefully with pruning level
+- flipping: accuracy collapses as scale signs flip
+- ambiguity (attack 3): fake passports move away from the originals
+- reverse (attack 2): affine-only retraining runs and improves
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepipr_tpu.attacks import (
+    ambiguity_attack,
+    flip_attack,
+    global_sign_flip,
+    plkey_to_module_path,
+    pruning_attack,
+    random_passport_attack,
+    reverse_attack,
+)
+from deepipr_tpu.data import DataLoader, synthetic_dataset
+from deepipr_tpu.models import AlexNet
+from deepipr_tpu.train import TrainState, make_train_step, sgd_optimizer
+from deepipr_tpu.utils.config import construct_passport_kwargs
+
+RNGS = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+SIZE = 16
+SHAPE = (1, SIZE, SIZE, 3)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """A small private AlexNet trained briefly on synthetic data."""
+    cfg = {"0": False, "2": False, "4": True, "5": True, "6": True}
+    kw, plkeys = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+    model = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
+
+    tx_img, tx_lbl, vx_img, vx_lbl = synthetic_dataset(
+        num_train=1024, num_test=128, size=SIZE
+    )
+    train_dl = DataLoader(tx_img, tx_lbl, 64, shuffle=True, drop_last=True)
+    valid_dl = DataLoader(vx_img, vx_lbl, 64)
+
+    v = model.init(RNGS, jnp.zeros(SHAPE), train=True)
+    state = TrainState.create(v, sgd_optimizer(0.05))
+    step = make_train_step(model, private=True)
+    for _ in range(6):
+        for batch in train_dl:
+            batch = {k: jnp.asarray(x) for k, x in batch.items()}
+            state, m = step(state, batch)
+    assert float(m["sign_acc"]) == 1.0
+    plpaths = [plkey_to_module_path(k) for k in plkeys]
+    return model, state, train_dl, valid_dl, plpaths
+
+
+class TestAttack1:
+    def test_random_fake_passports_collapse_accuracy(self, trained):
+        model, state, train_dl, valid_dl, _ = trained
+        normal = AlexNet(num_classes=10)
+        nv = normal.init(RNGS, jnp.zeros(SHAPE), train=True)
+        cands = np.random.default_rng(0).normal(
+            size=(64, SIZE, SIZE, 3)).astype(np.float32)
+        hist = random_passport_attack(
+            model, state, normal, nv, cands, valid_dl,
+            reps=3, private=True, seed=0,
+        )
+        genuine = hist[0]
+        fakes = hist[1:]
+        assert genuine["attack_rep"] == -1
+        assert genuine["valid_signacc"] >= 0.99
+        for row in fakes:
+            assert row["valid_acc"] < genuine["valid_acc"]
+            assert row["valid_signacc"] < 0.99
+
+
+class TestPruning:
+    def test_sweep_monotone_damage(self, trained):
+        model, state, _, valid_dl, _ = trained
+        hist = pruning_attack(model, state, valid_dl, SHAPE, private=True,
+                              percents=(0, 50, 100))
+        assert hist[0]["perc"] == 0 and hist[0]["detect_mean"] == 1.0
+        # 100% pruning zeroes everything -> signs gone
+        assert hist[-1]["detect_mean"] < 1.0
+        assert hist[-1]["acc"] <= hist[0]["acc"]
+
+
+class TestFlip:
+    def test_global_sign_flip_fractions(self):
+        vecs = [np.ones(64), np.ones(36)]
+        flipped, sim = global_sign_flip(vecs, 0.5, seed=0)
+        total_flipped = sum((v < 0).sum() for v in flipped)
+        assert total_flipped == 50
+        assert 0.0 < sim < 1.0
+
+    def test_flip_attack_collapses_accuracy(self, trained):
+        model, state, _, valid_dl, plpaths = trained
+        hist = flip_attack(model, state, valid_dl, SHAPE, private=True,
+                           plpaths=plpaths, percents=(0, 100))
+        assert hist[0]["detect_mean"] == 1.0
+        # detection is derived from untouched passports: constant
+        assert hist[1]["detect_mean"] == 1.0
+        assert hist[1]["acc"] < hist[0]["acc"]
+
+
+class TestAmbiguity:
+    def test_fake_passports_trained_and_distinct(self, trained):
+        model, state, train_dl, valid_dl, _ = trained
+        fake_pp, hist = ambiguity_attack(
+            model, state, train_dl, valid_dl, epochs=2,
+            private=True, flipperc=0.0, lr=0.01, seed=0,
+        )
+        assert len(hist) == 2
+        # maximize-distance term pushes fakes away from the originals
+        assert hist[-1]["mse"] > 0
+        for o, f in zip(jax.tree.leaves(state.passport),
+                        jax.tree.leaves(fake_pp)):
+            assert not np.allclose(np.asarray(o), np.asarray(f))
+
+    def test_flip_signature_bits(self, trained):
+        from deepipr_tpu.attacks import flip_signature_bits
+
+        model, state, *_ = trained
+        flipped = flip_signature_bits(jax.device_get(state.signature), 0.5, 0)
+        for o, f in zip(jax.tree.leaves(state.signature),
+                        jax.tree.leaves(flipped)):
+            frac = np.mean(np.asarray(o) != np.asarray(f))
+            assert frac == pytest.approx(0.5, abs=0.05)
+
+
+class TestReverse:
+    def test_affine_only_retraining(self, trained):
+        model, state, train_dl, valid_dl, plpaths = trained
+        normal = AlexNet(num_classes=10, norm_type="bn")
+        hist = reverse_attack(
+            model, state, normal, train_dl, valid_dl, SHAPE,
+            private=True, plpaths=plpaths, flipperc=0.3, epochs=2, seed=0,
+        )
+        assert hist[0]["epoch"] == 0
+        assert 0 < hist[0]["similarity"] < 1
+        # affine-only retraining improves over the flipped starting point
+        assert hist[-1]["valid_acc"] >= hist[0]["valid_acc"]
