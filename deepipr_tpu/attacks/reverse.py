@@ -84,6 +84,9 @@ def build_attacked_normal_state(
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
+    # Deep-copy: shares buffers with the passport state, and the attack train
+    # step donates its input (see transfer.py for the same hazard).
+    variables = jax.tree.map(lambda x: jnp.array(x, copy=True), variables)
     state = TrainState.create(variables, tx)
     return state, similarity
 

@@ -180,10 +180,12 @@ class ClassificationExperiment(Experiment):
         tx = sgd_optimizer(schedule, momentum=0.9, weight_decay=1e-4)
         self.state = TrainState.create(variables, tx)
 
-        if self.pretrained_path and self.scheme == 0:
+        if self.pretrained_path and (self.scheme == 0 or self.is_tl):
+            # scheme 0: resume/fine-tune a normal model. TL: the checkpoint
+            # being transfer-attacked (reference finetune_load, base.py:85-108).
             self.state = load_state(self.pretrained_path, self.state)
 
-        if use_passport and self.key_type != "random":
+        if use_passport and self.key_type != "random" and not self.is_tl:
             self._setup_keys()
 
         if self.mesh is not None:
