@@ -31,7 +31,9 @@ def main(batch_size=256, steps=30, warmup=5):
         os.path.join(os.path.dirname(__file__), "passport_configs/resnet18_passport.json")
     )
     kwargs, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
-    model = ResNet18Private(num_classes=10, passport_kwargs=kwargs)
+    # bf16 on the MXU with f32 epilogues/derivation — the production config
+    model = ResNet18Private(num_classes=10, passport_kwargs=kwargs,
+                            dtype=jnp.bfloat16)
 
     rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
     x = jax.random.normal(jax.random.key(2), (batch_size, 32, 32, 3), jnp.float32)

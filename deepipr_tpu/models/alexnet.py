@@ -132,13 +132,13 @@ class AlexNet(nn.Module):
             x = adaptive_avg_pool2d(x, (6, 6))
             x = x.reshape(x.shape[0], -1)
             x = nn.Dropout(0.5, deterministic=not train)(x)
-            x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="classifier_1")(x))
+            x = nn.relu(nn.Dense(4096, name="classifier_1")(x))
             x = nn.Dropout(0.5, deterministic=not train)(x)
-            x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="classifier_4")(x))
-            x = nn.Dense(self.num_classes, dtype=self.dtype, name="classifier_6")(x)
+            x = nn.relu(nn.Dense(4096, name="classifier_4")(x))
+            x = nn.Dense(self.num_classes, name="classifier_6")(x)
         else:
             x = x.reshape(x.shape[0], -1)  # 4*4*256
-            x = nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
+            x = nn.Dense(self.num_classes, name="classifier")(x)
         return x
 
 

@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from deepipr_tpu.ops.conv import Conv2D
 from deepipr_tpu.ops.norms import apply_norm, make_norm
 from deepipr_tpu.passport.codec import encode_signature
 from deepipr_tpu.passport.derive import fused_conv_with_passports
@@ -34,10 +35,6 @@ from deepipr_tpu.passport.derive import fused_conv_with_passports
 kaiming_normal_fan_out = nn.initializers.variance_scaling(
     2.0, "fan_out", "normal"
 )
-
-
-def _symmetric_pad(padding: int):
-    return [(padding, padding), (padding, padding)]
 
 
 def _tap_input(module: nn.Module, x):
@@ -70,21 +67,23 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         _tap_input(self, x)
-        x = nn.Conv(
+        x = Conv2D(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            (self.strides, self.strides),
-            padding=_symmetric_pad(self.padding),
+            self.kernel_size,
+            self.strides,
+            self.padding,
             use_bias=self.norm_type == "none",
             kernel_init=kaiming_normal_fan_out,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x).astype(jnp.float32)
         norm = make_norm(self.norm_type, self.features, name="bn")
         x = apply_norm(norm, x, train)
         if self.relu:
             x = nn.relu(x)
-        return x
+        # store activations in the compute dtype: halves inter-layer HBM
+        # traffic under bf16 (the next conv consumes bf16 anyway)
+        return x.astype(self.dtype) if self.dtype else x
 
 
 class _PassportMixin:
@@ -118,11 +117,11 @@ class _PassportMixin:
         return key, skey
 
     def _conv(self):
-        return nn.Conv(
+        return Conv2D(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            (self.strides, self.strides),
-            padding=_symmetric_pad(self.padding),
+            self.kernel_size,
+            self.strides,
+            self.padding,
             use_bias=False,
             kernel_init=kaiming_normal_fan_out,
             dtype=self.dtype,
@@ -168,7 +167,7 @@ class PassportBlock(nn.Module, _PassportMixin):
         key, skey = self._passport_vars(x)
 
         if self.learnable_affine and not force_passport:
-            y = conv(x)
+            y = conv(x).astype(jnp.float32)
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
         else:
@@ -182,7 +181,7 @@ class PassportBlock(nn.Module, _PassportMixin):
         y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
         if self.relu:
             y = nn.relu(y)
-        return y
+        return y.astype(self.dtype) if self.dtype else y
 
 
 class PassportPrivateBlock(nn.Module, _PassportMixin):
@@ -220,7 +219,7 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
         key, skey = self._passport_vars(x)
 
         if ind == 0 and not force_passport:
-            y = conv(x)
+            y = conv(x).astype(jnp.float32)
             scale, bias = pub_scale, pub_bias
         else:
             y, scale, bias = fused_conv_with_passports(
@@ -231,4 +230,5 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
         norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
         y = apply_norm(norm, y, train)
         y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
-        return nn.relu(y)
+        y = nn.relu(y)
+        return y.astype(self.dtype) if self.dtype else y

@@ -194,7 +194,7 @@ class ResNet(nn.Module):
                 in_planes = planes * self.block_cls.expansion
 
         x = global_avg_pool(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="linear")(x)
+        return nn.Dense(self.num_classes, name="linear")(x)
 
 
 def _factory(block_cls, num_blocks):

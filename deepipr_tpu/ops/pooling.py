@@ -34,5 +34,5 @@ def adaptive_avg_pool2d(x, out_hw):
 
 
 def global_avg_pool(x):
-    """(N, H, W, C) -> (N, C)."""
-    return jnp.mean(x, axis=(1, 2))
+    """(N, H, W, C) -> (N, C); accumulates in f32 under bf16 activations."""
+    return jnp.mean(x, axis=(1, 2), dtype=jnp.float32)

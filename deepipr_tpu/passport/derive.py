@@ -89,7 +89,8 @@ def fused_conv_with_passports(
     n = x.shape[0]
     bk = key.shape[0]
     stacked = jnp.concatenate([x, key.astype(x.dtype), skey.astype(x.dtype)], axis=0)
-    out = conv_fn(stacked)
+    # upcast once: epilogue + scale derivation stay f32 under bf16 compute
+    out = conv_fn(stacked).astype(jnp.float32)
     y = out[:n]
     bias = gap_channel_mean(out[n : n + bk])
     scale = gap_channel_mean(out[n + bk :])
