@@ -74,19 +74,22 @@ def make_train_step(model, private: bool):
 
     def step(state: TrainState, batch):
         x, y = batch["image"], batch["label"]
+        # deterministic per-step dropout rng (only consumed by models that
+        # have dropout, i.e. the ImageNet AlexNet classifier)
+        rngs = {"dropout": jax.random.fold_in(jax.random.key(0), state.step)}
 
         def loss_fn(params):
             variables = {**state.model_variables(), "params": params}
 
             if private:
                 logits0, upd0 = model.apply(
-                    variables, x, ind=0, train=True,
+                    variables, x, ind=0, train=True, rngs=rngs,
                     mutable=["batch_stats", "passport_aux"],
                 )
                 if "batch_stats" in upd0:
                     variables = {**variables, "batch_stats": upd0["batch_stats"]}
                 logits1, upd1 = model.apply(
-                    variables, x, ind=1, train=True,
+                    variables, x, ind=1, train=True, rngs=rngs,
                     mutable=["batch_stats", "passport_aux"],
                 )
                 ce = cross_entropy_mean(logits0, y) + cross_entropy_mean(logits1, y)
@@ -98,7 +101,7 @@ def make_train_step(model, private: bool):
                 }
             else:
                 logits, upd = model.apply(
-                    variables, x, train=True,
+                    variables, x, train=True, rngs=rngs,
                     mutable=["batch_stats", "passport_aux"],
                 )
                 ce = cross_entropy_mean(logits, y)
