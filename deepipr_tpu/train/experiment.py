@@ -100,7 +100,17 @@ class Experiment:
         self._csv_first = True
 
     def makedirs_or_load(self):
+        """Create logdir/{next expid} — or, in eval mode, load the existing
+        experiment --exp-id's best checkpoint (reference base.py:110-137)."""
         os.makedirs(self.logdir, exist_ok=True)
+        if self.args.get("eval"):
+            self.logdir = os.path.join(self.logdir, str(self.args.get("exp_id", 1)))
+            path = os.path.join(self.logdir, "models", "best.ckpt")
+            if os.path.exists(path):
+                self.load_model(path)
+            else:
+                print(f"Warning: No such experiment -> {path}")
+            return
         existing = [
             int(d) for d in os.listdir(self.logdir)
             if os.path.isdir(os.path.join(self.logdir, d)) and d.isdigit()
@@ -187,6 +197,13 @@ class ClassificationExperiment(Experiment):
 
         if use_passport and self.key_type != "random" and not self.is_tl:
             self._setup_keys()
+
+        if self.args.get("resume"):
+            # True resume (beyond the reference's weights-only ckpts): restores
+            # optimizer state, BN stats, passports, signatures, step counter.
+            self.state = load_state(self.args["resume"], self.state)
+            print(f"Resumed full train state from {self.args['resume']} "
+                  f"(step {int(self.state.step)})")
 
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)

@@ -44,6 +44,7 @@ def build_parser():
     p.add_argument("--logdir", default="logs")
 
     # misc
+    p.add_argument("--resume", help="full-train-state checkpoint to resume from")
     p.add_argument("--save-interval", type=int, default=0)
     p.add_argument("--eval", action="store_true", default=False)
     p.add_argument("--exp-id", type=int, default=1)
