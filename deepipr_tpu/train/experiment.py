@@ -35,7 +35,8 @@ from deepipr_tpu.data.datasets import (
     prepare_wm,
 )
 from deepipr_tpu.models.registry import NUM_CLASSES, build_model
-from deepipr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from deepipr_tpu.data.prefetch import prefetch
+from deepipr_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from deepipr_tpu.train.keys import sample_candidates, setup_passports
 from deepipr_tpu.train.schedule import multistep_lr, sgd_optimizer
 from deepipr_tpu.train.state import TrainState
@@ -174,6 +175,7 @@ class ClassificationExperiment(Experiment):
             self.arch, self.num_classes, self.norm_type,
             passport_kwargs=self.passport_kwargs, private=self.private,
             imagenet=self.dataset == "imagenet1000",
+            dtype=jnp.bfloat16 if self.args.get("bf16") else None,
         )
 
         rngs = {
@@ -268,10 +270,8 @@ class ClassificationExperiment(Experiment):
 
     # --------------------------------------------------------------- training
 
-    def _train_epoch(self, ep: int) -> Dict:
-        t0 = time.time()
-        sums: Dict[str, float] = {}
-        count = 0
+    def _batches(self):
+        """Augmented (+ trigger-concatenated) batch stream for one epoch."""
         wm_iter = CyclingIterator(self.wm_data) if self.wm_data else None
         for batch in self.train_data:
             if wm_iter is not None:
@@ -280,14 +280,23 @@ class ClassificationExperiment(Experiment):
                     "image": np.concatenate([batch["image"], wb["image"]]),
                     "label": np.concatenate([batch["label"], wb["label"]]),
                 }
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+            yield batch
+
+    def _train_epoch(self, ep: int) -> Dict:
+        t0 = time.time()
+        sums: Dict[str, float] = {}
+        count = 0
+        images = 0
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        for batch in prefetch(self._batches(), size=2, sharding=sharding):
+            images += int(batch["label"].shape[0])
             self.state, metrics = self.train_step(self.state, batch)
             count += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
         out = {k: v / max(count, 1) for k, v in sums.items()}
         out["time"] = time.time() - t0
+        out["images_per_sec"] = images / max(out["time"], 1e-9)
         return out
 
     def _valid_metrics(self) -> Dict:
@@ -323,7 +332,11 @@ class ClassificationExperiment(Experiment):
         best = float("-inf")
         print(f"Start training: scheme {self.scheme}, logdir {self.logdir}")
         for ep in range(1, self.epochs + 1):
-            train_metrics = self._train_epoch(ep)
+            if ep == 1 and self.args.get("profile"):
+                with jax.profiler.trace(os.path.join(self.logdir, "profile")):
+                    train_metrics = self._train_epoch(ep)
+            else:
+                train_metrics = self._train_epoch(ep)
             valid_metrics = self._valid_metrics()
             wm_metrics = {}
             if self.train_backdoor and self.wm_data is not None:

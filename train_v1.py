@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--logdir", default="logs")
 
     # misc
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bf16 compute on the MXU (f32 epilogues/derivation)")
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
     p.add_argument("--save-interval", type=int, default=0)
     p.add_argument("--eval", action="store_true", default=False)
