@@ -66,20 +66,26 @@ def build_attacked_normal_state(
         flat[f"{p}/bn/bias"] = jnp.zeros_like(flat[f"{p}/bn/bias"])
     params = unflatten_paths(flat)
 
-    # only the passport layers' bn affines are trainable
+    # only the passport layers' bn affines are trainable; everything else is
+    # hard-frozen (NOTE: optax.masked would pass raw gradients through for
+    # unmasked leaves — multi_transform + set_to_zero actually freezes them)
     trainable_paths = {f"{p}/bn/scale" for p in plpaths} | {
         f"{p}/bn/bias" for p in plpaths
     }
-    mask = unflatten_paths(
-        {k: k in trainable_paths for k in flatten_paths(params)}
-    )
-    tx = optax.masked(
-        optax.chain(
-            optax.add_decayed_weights(5e-4),
-            optax.trace(decay=0.9),
-            optax.scale_by_learning_rate(lr),
-        ),
-        mask,
+    labels = unflatten_paths({
+        k: "train" if k in trainable_paths else "freeze"
+        for k in flatten_paths(params)
+    })
+    tx = optax.multi_transform(
+        {
+            "train": optax.chain(
+                optax.add_decayed_weights(5e-4),
+                optax.trace(decay=0.9),
+                optax.scale_by_learning_rate(lr),
+            ),
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
     )
     variables = {"params": params}
     if stats:

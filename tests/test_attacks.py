@@ -29,7 +29,7 @@ from deepipr_tpu.train import TrainState, make_train_step, sgd_optimizer
 from deepipr_tpu.utils.config import construct_passport_kwargs
 
 RNGS = {"params": jax.random.key(0), "passport": jax.random.key(1)}
-SIZE = 16
+SIZE = 32
 SHAPE = (1, SIZE, SIZE, 3)
 
 
@@ -41,19 +41,22 @@ def trained():
     model = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
 
     tx_img, tx_lbl, vx_img, vx_lbl = synthetic_dataset(
-        num_train=1024, num_test=128, size=SIZE
+        num_train=2048, num_test=256, size=SIZE
     )
     train_dl = DataLoader(tx_img, tx_lbl, 64, shuffle=True, drop_last=True)
     valid_dl = DataLoader(vx_img, vx_lbl, 64)
 
     v = model.init(RNGS, jnp.zeros(SHAPE), train=True)
-    state = TrainState.create(v, sgd_optimizer(0.05))
+    # reference lr (0.01): 0.05 sits on the edge of divergence for the
+    # passport-derived affine and produced a half-trained fixture
+    state = TrainState.create(v, sgd_optimizer(0.01))
     step = make_train_step(model, private=True)
-    for _ in range(6):
+    for _ in range(2):
         for batch in train_dl:
             batch = {k: jnp.asarray(x) for k, x in batch.items()}
             state, m = step(state, batch)
     assert float(m["sign_acc"]) == 1.0
+    assert float(m["loss"]) < 1.0, "fixture under-trained"
     plpaths = [plkey_to_module_path(k) for k in plkeys]
     return model, state, train_dl, valid_dl, plpaths
 
