@@ -1,0 +1,70 @@
+"""torchvision-format checkpoint import (built-by-hand state dicts —
+torchvision itself is not installed in this environment)."""
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from deepipr_tpu.interop.torchvision_import import import_torchvision
+from deepipr_tpu.models import AlexNet, ResNet18
+
+
+def tv_alexnet_sd():
+    """Standard torchvision AlexNet state-dict keys/shapes."""
+    convs = {  # idx: (cout, cin, k)
+        "0": (64, 3, 11), "3": (192, 64, 5), "6": (384, 192, 3),
+        "8": (256, 384, 3), "10": (256, 256, 3),
+    }
+    sd = {}
+    for i, (co, ci, k) in convs.items():
+        sd[f"features.{i}.weight"] = torch.zeros(co, ci, k, k)
+        sd[f"features.{i}.bias"] = torch.zeros(co)
+    for i, (o, n) in {"1": (4096, 9216), "4": (4096, 4096),
+                      "6": (1000, 4096)}.items():
+        sd[f"classifier.{i}.weight"] = torch.zeros(o, n)
+        sd[f"classifier.{i}.bias"] = torch.zeros(o)
+    return sd
+
+
+def tv_resnet18_sd():
+    sd = {"conv1.weight": torch.zeros(64, 3, 7, 7)}
+    for p in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{p}"] = torch.zeros(64)
+    sd["bn1.num_batches_tracked"] = torch.tensor(0)
+    chans = {"layer1": (64, 64), "layer2": (64, 128),
+             "layer3": (128, 256), "layer4": (256, 512)}
+    for layer, (cin, cout) in chans.items():
+        for b in range(2):
+            c1_in = cin if b == 0 else cout
+            sd[f"{layer}.{b}.conv1.weight"] = torch.zeros(cout, c1_in, 3, 3)
+            sd[f"{layer}.{b}.conv2.weight"] = torch.zeros(cout, cout, 3, 3)
+            for bn in ("bn1", "bn2"):
+                for p in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{layer}.{b}.{bn}.{p}"] = torch.zeros(cout)
+                sd[f"{layer}.{b}.{bn}.num_batches_tracked"] = torch.tensor(0)
+            if b == 0 and layer != "layer1":
+                sd[f"{layer}.0.downsample.0.weight"] = torch.zeros(cout, cin, 1, 1)
+                for p in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{layer}.0.downsample.1.{p}"] = torch.zeros(cout)
+                sd[f"{layer}.0.downsample.1.num_batches_tracked"] = torch.tensor(0)
+    sd["fc.weight"] = torch.zeros(1000, 512)
+    sd["fc.bias"] = torch.zeros(1000)
+    return sd
+
+
+def test_alexnet_torchvision_import():
+    model = AlexNet(num_classes=1000, norm_type="none")
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(2)}
+    tmpl = model.init(rngs, jnp.zeros((1, 224, 224, 3)), train=False)
+    v = import_torchvision(tv_alexnet_sd(), tmpl, "alexnet")
+    y = model.apply(v, jnp.zeros((1, 224, 224, 3)))
+    assert y.shape == (1, 1000)
+
+
+def test_resnet18_torchvision_import():
+    model = ResNet18(num_classes=1000)
+    tmpl = model.init({"params": jax.random.key(0)},
+                      jnp.zeros((1, 224, 224, 3)), train=False)
+    v = import_torchvision(tv_resnet18_sd(), tmpl, "resnet18")
+    y = model.apply(v, jnp.zeros((1, 224, 224, 3)))
+    assert y.shape == (1, 1000)
