@@ -14,13 +14,35 @@ benchmarks/torch_cpu_baseline.py). Target from BASELINE.md: >= 5x.
 
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+def _watchdog(seconds: int):
+    """Emit a diagnostic JSON line instead of hanging forever if the TPU
+    backend is unresponsive (observed with a wedged remote compile service)."""
+
+    def handler(signum, frame):
+        print(json.dumps({
+            "metric": "images/sec/chip (ResNet-18 V2 passport train, CIFAR-10)",
+            "value": None,
+            "unit": "img/s/chip",
+            "vs_baseline": None,
+            "error": f"TPU backend unresponsive after {seconds}s",
+        }))
+        sys.stdout.flush()
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
 def main(batch_size=256, steps=30, warmup=5):
+    _watchdog(int(os.environ.get("BENCH_TIMEOUT", "1500")))
     from deepipr_tpu.models import ResNet18Private
     from deepipr_tpu.train.schedule import sgd_optimizer
     from deepipr_tpu.train.state import TrainState

@@ -22,7 +22,6 @@ passports, both of which are copied losslessly (layout transposes only).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, List, Tuple
 
 import numpy as np

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import numpy as np
-
 from deepipr_tpu.interop.torch_import import import_torch_checkpoint
 
 _ALEXNET_FEATURE_MAP = {"0": "0", "3": "2", "6": "4", "8": "5", "10": "6"}

@@ -19,7 +19,7 @@ Variable collections used by models in this package:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Any, Union
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from deepipr_tpu.models.layers import ConvBlock, PassportBlock, PassportPrivateBlock
 from deepipr_tpu.ops.pooling import global_avg_pool, max_pool2d

@@ -8,7 +8,7 @@ buffer), which optax reproduces with add_decayed_weights -> trace -> scale.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import optax
 

@@ -7,7 +7,7 @@ exists (optimizer momentum, step count, BN stats, passports, signatures).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax.numpy as jnp

@@ -27,3 +27,23 @@ def load_state(path: str, template: Any) -> Any:
     created TrainState)."""
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, sharding-aware — for multi-host meshes the
+# msgpack path would funnel every shard through one host; Orbax writes
+# per-shard. Single-host flows default to the msgpack format above.
+# ---------------------------------------------------------------------------
+
+def save_state_orbax(directory: str, state: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(directory), jax.device_get(state))
+
+
+def load_state_orbax(directory: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(directory), template)

@@ -1,0 +1,60 @@
+"""Checkpointing: msgpack + orbax round-trips preserve the full train state."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepipr_tpu.models import AlexNet
+from deepipr_tpu.train import TrainState, make_train_step, sgd_optimizer
+from deepipr_tpu.utils.checkpoint import (
+    load_state,
+    load_state_orbax,
+    save_state,
+    save_state_orbax,
+)
+from deepipr_tpu.utils.config import construct_passport_kwargs
+
+RNGS = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+
+
+def _trained_state():
+    cfg = {"0": False, "2": False, "4": True, "5": True, "6": True}
+    kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+    model = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
+    x = jnp.ones((4, 16, 16, 3))
+    v = model.init(RNGS, x, train=True)
+    state = TrainState.create(v, sgd_optimizer(0.01))
+    step = make_train_step(model, private=True)
+    batch = {"image": x, "label": jnp.zeros(4, jnp.int32)}
+    for _ in range(2):
+        state, _ = step(state, batch)
+    return model, state
+
+
+def _assert_states_equal(a, b):
+    assert int(a.step) == int(b.step)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_msgpack_roundtrip_preserves_everything(tmp_path):
+    model, state = _trained_state()
+    path = os.path.join(tmp_path, "models", "ck.ckpt")
+    save_state(path, state)
+    template = TrainState.create(
+        model.init(RNGS, jnp.ones((4, 16, 16, 3)), train=True),
+        sgd_optimizer(0.01),
+    )
+    restored = load_state(path, template)
+    _assert_states_equal(jax.device_get(state), restored)
+    assert int(restored.step) == 2  # optimizer/step state survives
+
+
+def test_orbax_roundtrip(tmp_path):
+    _, state = _trained_state()
+    d = os.path.join(tmp_path, "orbax_ck")
+    save_state_orbax(d, state)
+    restored = load_state_orbax(d, jax.device_get(state))
+    _assert_states_equal(jax.device_get(state), restored)
