@@ -331,6 +331,8 @@ class ClassificationExperiment(Experiment):
     def training(self):
         best = float("-inf")
         print(f"Start training: scheme {self.scheme}, logdir {self.logdir}")
+        if self.save_interval > 0:
+            self.save_model("epoch-0.ckpt")  # reference classification.py:271-272
         for ep in range(1, self.epochs + 1):
             if ep == 1 and self.args.get("profile"):
                 with jax.profiler.trace(os.path.join(self.logdir, "profile")):
