@@ -84,12 +84,13 @@ def _make_feature_block(
     )
 
 
-def _call_block(block, x, force_passport, ind, train):
+def _call_block(block, x, force_passport, ind, train, dual=False):
     if isinstance(block, PassportPrivateBlock):
-        return block(x, ind=ind, force_passport=force_passport, train=train)
+        return block(x, ind=ind, force_passport=force_passport, train=train,
+                     dual=dual)
     if isinstance(block, PassportBlock):
         return block(x, force_passport=force_passport, train=train)
-    return block(x, train=train)
+    return block(x, train=train, dual=dual)
 
 
 class AlexNet(nn.Module):
@@ -113,6 +114,7 @@ class AlexNet(nn.Module):
         force_passport: bool = False,
         ind: int = 0,
         train: bool = False,
+        dual: bool = False,
     ):
         is_imagenet = self.imagenet or self.num_classes == 1000
         convs = _IMAGENET_CONVS if is_imagenet else _CIFAR_CONVS
@@ -124,7 +126,7 @@ class AlexNet(nn.Module):
                 lk, self.norm_type, feats, k, s, p, f"features_{idx}",
                 self.private, self.dtype,
             )
-            x = _call_block(block, x, force_passport, ind, train)
+            x = _call_block(block, x, force_passport, ind, train, dual)
             if idx in _POOL_AFTER:
                 x = max_pool2d(x, pool_k, 2)
 
