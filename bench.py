@@ -64,8 +64,7 @@ def main(batch_size=256, steps=30, warmup=5):
     state = TrainState.create(variables, sgd_optimizer(0.01))
     batch = {"image": x, "label": y}
 
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    step = make_train_step(model, private=True, fused_dual=fused)
+    step = make_train_step(model, private=True)
 
     for _ in range(warmup):
         state, metrics = step(state, batch)

@@ -84,13 +84,12 @@ def _make_feature_block(
     )
 
 
-def _call_block(block, x, force_passport, ind, train, dual=False):
+def _call_block(block, x, force_passport, ind, train):
     if isinstance(block, PassportPrivateBlock):
-        return block(x, ind=ind, force_passport=force_passport, train=train,
-                     dual=dual)
+        return block(x, ind=ind, force_passport=force_passport, train=train)
     if isinstance(block, PassportBlock):
         return block(x, force_passport=force_passport, train=train)
-    return block(x, train=train, dual=dual)
+    return block(x, train=train)
 
 
 class AlexNet(nn.Module):
@@ -114,7 +113,6 @@ class AlexNet(nn.Module):
         force_passport: bool = False,
         ind: int = 0,
         train: bool = False,
-        dual: bool = False,
     ):
         is_imagenet = self.imagenet or self.num_classes == 1000
         convs = _IMAGENET_CONVS if is_imagenet else _CIFAR_CONVS
@@ -126,7 +124,7 @@ class AlexNet(nn.Module):
                 lk, self.norm_type, feats, k, s, p, f"features_{idx}",
                 self.private, self.dtype,
             )
-            x = _call_block(block, x, force_passport, ind, train, dual)
+            x = _call_block(block, x, force_passport, ind, train)
             if idx in _POOL_AFTER:
                 x = max_pool2d(x, pool_k, 2)
 

@@ -65,7 +65,7 @@ class ConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dual: bool = False):
+    def __call__(self, x, train: bool = False):
         _tap_input(self, x)
         x = Conv2D(
             self.features,
@@ -78,7 +78,7 @@ class ConvBlock(nn.Module):
             name="conv",
         )(x).astype(jnp.float32)
         norm = make_norm(self.norm_type, self.features, name="bn")
-        x = apply_norm(norm, x, train, dual=dual)
+        x = apply_norm(norm, x, train)
         if self.relu:
             x = nn.relu(x)
         # store activations in the compute dtype: halves inter-layer HBM
@@ -206,8 +206,7 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
 
     @nn.compact
     def __call__(
-        self, x, ind: int = 0, force_passport: bool = False,
-        train: bool = False, dual: bool = False,
+        self, x, ind: int = 0, force_passport: bool = False, train: bool = False
     ):
         _tap_input(self, x)
         conv = self._conv()
@@ -216,28 +215,8 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
         # Public affine always exists (reference: init_scale(True) in __init__).
         pub_scale = self.param("scale", nn.initializers.ones, (self.features,))
         pub_bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # Passports always exist so both branches share one variable tree
-        # (only x's spatial dims matter for their shape).
+        # Passports always exist so both branches share one variable tree.
         key, skey = self._passport_vars(x)
-
-        if dual:
-            # Fused V2 training: x = [public half; private half] stacked along
-            # batch. ONE conv serves both halves + the passports; the norm
-            # uses per-half batch statistics (see ops/norms.BatchNorm2D).
-            y, scale, bias = fused_conv_with_passports(
-                x, key.value, skey.value, conv
-            )
-            self._sow_aux(scale, bias, b.value)
-            norm = make_norm(self.norm_type, self.features, affine=False,
-                             name="bn")
-            y = apply_norm(norm, y, train, dual=True)
-            n = y.shape[0] // 2
-            y_pub = pub_scale.reshape(1, 1, 1, -1) * y[:n] \
-                + pub_bias.reshape(1, 1, 1, -1)
-            y_priv = scale.reshape(1, 1, 1, -1) * y[n:] \
-                + bias.reshape(1, 1, 1, -1)
-            y = nn.relu(jnp.concatenate([y_pub, y_priv], axis=0))
-            return y.astype(self.dtype) if self.dtype else y
 
         if ind == 0 and not force_passport:
             y = conv(x).astype(jnp.float32)

@@ -66,13 +66,12 @@ def _make_block(
     )
 
 
-def _call_block(block, x, force_passport, ind, train, dual=False):
+def _call_block(block, x, force_passport, ind, train):
     if isinstance(block, PassportPrivateBlock):
-        return block(x, ind=ind, force_passport=force_passport, train=train,
-                     dual=dual)
+        return block(x, ind=ind, force_passport=force_passport, train=train)
     if isinstance(block, PassportBlock):
         return block(x, force_passport=force_passport, train=train)
-    return block(x, train=train, dual=dual)
+    return block(x, train=train)
 
 
 class BasicBlock(nn.Module):
@@ -92,7 +91,7 @@ class BasicBlock(nn.Module):
         return None if self.passport_kwargs is None else self.passport_kwargs[name]
 
     @nn.compact
-    def __call__(self, x, force_passport=False, ind=0, train=False, dual=False):
+    def __call__(self, x, force_passport=False, ind=0, train=False):
         b1 = _make_block(
             self._sub_kwargs("convbnrelu_1"), self.norm_type, self.planes,
             3, self.stride, 1, "convbnrelu_1", self.private, True, self.dtype,
@@ -101,8 +100,8 @@ class BasicBlock(nn.Module):
             self._sub_kwargs("convbn_2"), self.norm_type, self.planes,
             3, 1, 1, "convbn_2", self.private, True, self.dtype,
         )
-        out = _call_block(b1, x, force_passport, ind, train, dual)
-        out = _call_block(b2, out, force_passport, ind, train, dual)
+        out = _call_block(b1, x, force_passport, ind, train)
+        out = _call_block(b2, out, force_passport, ind, train)
 
         if self.stride != 1 or self.in_planes != self.expansion * self.planes:
             sc = _make_block(
@@ -110,7 +109,7 @@ class BasicBlock(nn.Module):
                 self.expansion * self.planes, 1, self.stride, 0,
                 "shortcut", self.private, True, self.dtype,
             )
-            out = out + _call_block(sc, x, force_passport, ind, train, dual)
+            out = out + _call_block(sc, x, force_passport, ind, train)
         else:
             out = out + x
         return nn.relu(out)
@@ -130,20 +129,18 @@ class Bottleneck(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, force_passport=False, ind=0, train=False, dual=False):
+    def __call__(self, x, force_passport=False, ind=0, train=False):
         out = ConvBlock(self.planes, 1, 1, 0, norm_type=self.norm_type,
-                        dtype=self.dtype, name="convbnrelu_1")(x, train=train,
-                                                               dual=dual)
+                        dtype=self.dtype, name="convbnrelu_1")(x, train=train)
         out = ConvBlock(self.planes, 3, self.stride, 1, norm_type=self.norm_type,
-                        dtype=self.dtype, name="convbnrelu_2")(out, train=train,
-                                                               dual=dual)
+                        dtype=self.dtype, name="convbnrelu_2")(out, train=train)
         out = ConvBlock(self.planes * self.expansion, 1, 1, 0,
                         norm_type=self.norm_type, relu=False, dtype=self.dtype,
-                        name="convbn_3")(out, train=train, dual=dual)
+                        name="convbn_3")(out, train=train)
         if self.stride != 1 or self.in_planes != self.expansion * self.planes:
             sc = ConvBlock(self.planes * self.expansion, 1, self.stride, 0,
                            norm_type=self.norm_type, relu=False, dtype=self.dtype,
-                           name="shortcut")(x, train=train, dual=dual)
+                           name="shortcut")(x, train=train)
             out = out + sc
         else:
             out = out + x
@@ -163,7 +160,7 @@ class ResNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, force_passport=False, ind=0, train=False, dual=False):
+    def __call__(self, x, force_passport=False, ind=0, train=False):
         is_imagenet = self.imagenet or self.num_classes == 1000
         pk = self.passport_kwargs
 
@@ -171,12 +168,12 @@ class ResNet(nn.Module):
         if is_imagenet:
             stem = _make_block(stem_kwargs, self.norm_type, 64, 7, 2, 3,
                                "convbnrelu_1", self.private, True, self.dtype)
-            x = _call_block(stem, x, force_passport, ind, train, dual)
+            x = _call_block(stem, x, force_passport, ind, train)
             x = max_pool2d(x, 3, 2, padding=1)
         else:
             stem = _make_block(stem_kwargs, self.norm_type, 64, 3, 1, 1,
                                "convbnrelu_1", self.private, True, self.dtype)
-            x = _call_block(stem, x, force_passport, ind, train, dual)
+            x = _call_block(stem, x, force_passport, ind, train)
 
         in_planes = 64
         for li, (planes, n, stride) in enumerate(
@@ -192,8 +189,7 @@ class ResNet(nn.Module):
                     private=self.private, dtype=self.dtype,
                     name=f"layer{li}_{bi}",
                 )
-                x = blk(x, force_passport=force_passport, ind=ind,
-                        train=train, dual=dual)
+                x = blk(x, force_passport=force_passport, ind=ind, train=train)
                 in_planes = planes * self.block_cls.expansion
 
         x = global_avg_pool(x)

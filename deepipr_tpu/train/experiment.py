@@ -212,14 +212,7 @@ class ClassificationExperiment(Experiment):
 
         # Compile once; reuse across epochs (re-jitting per epoch would pay
         # the full XLA compile on every evaluation pass).
-        fused_dual = (
-            self.private
-            and self.norm_type == "bn"
-            and self.args.get("fused_dual", False)
-        )
-        self.train_step = make_train_step(
-            self.model, private=self.private, fused_dual=fused_dual
-        )
+        self.train_step = make_train_step(self.model, private=self.private)
         self.eval_steps = {0: make_eval_step(self.model, ind=0)}
         if self.private:
             self.eval_steps[1] = make_eval_step(self.model, ind=1)

@@ -64,16 +64,12 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
     return out
 
 
-def make_train_step(model, private: bool, fused_dual: bool = False):
+def make_train_step(model, private: bool):
     """Build the jitted SGD train step for this model/scheme.
 
     Returns step(state, batch) -> (new_state, metrics); batch is a dict with
     'image' (N,H,W,C) and 'label' (N,). For V3 the trigger batch is already
     concatenated by the data layer.
-
-    fused_dual=True (V2/V3, BatchNorm models): run both branches in ONE
-    stacked 2N-batch apply instead of two sequential applies — same math
-    (per-half BN stats, see ops/norms.BatchNorm2D), half the kernel count.
     """
 
     def step(state: TrainState, batch):
@@ -84,26 +80,6 @@ def make_train_step(model, private: bool, fused_dual: bool = False):
 
         def loss_fn(params):
             variables = {**state.model_variables(), "params": params}
-
-            if private and fused_dual:
-                x2 = jnp.concatenate([x, x], axis=0)
-                y2 = jnp.concatenate([y, y], axis=0)
-                logits, upd = model.apply(
-                    variables, x2, dual=True, train=True, rngs=rngs,
-                    mutable=["batch_stats", "passport_aux"],
-                )
-                n = x.shape[0]
-                # CE0_mean + CE1_mean == 2 * mean over the stacked batch
-                ce = 2.0 * cross_entropy_mean(logits, y2)
-                sl, sacc = total_sign_loss(collect_aux(upd))
-                new_stats = upd.get("batch_stats", state.batch_stats)
-                metrics = {
-                    "acc_public": top1_accuracy(logits[:n], y),
-                    "acc_private": top1_accuracy(logits[n:], y),
-                }
-                loss = ce + sl
-                metrics.update({"loss": ce, "sign_loss": sl, "sign_acc": sacc})
-                return loss, (new_stats, metrics)
 
             if private:
                 logits0, upd0 = model.apply(

@@ -19,14 +19,15 @@ def test_preserves_order_and_count():
 def test_overlaps_producer_with_consumer():
     def slow_gen():
         for k in range(5):
-            time.sleep(0.05)
+            time.sleep(0.08)
             yield k
 
     t0 = time.time()
     for _ in prefetch(slow_gen(), size=2):
-        time.sleep(0.05)  # consumer work overlaps producer work
+        time.sleep(0.08)  # consumer work overlaps producer work
     elapsed = time.time() - t0
-    assert elapsed < 0.45  # serial would be ~0.5s
+    # serial would be ~0.8s, overlapped ~0.48s; generous bound for CI load
+    assert elapsed < 0.68
 
 
 def test_producer_exception_reraised():

@@ -46,8 +46,6 @@ def build_parser():
     # misc
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bf16 compute on the MXU (f32 epilogues/derivation)")
-    p.add_argument("--fused-dual", action="store_true", default=False,
-                   help="V2/V3: run both branches in one stacked 2N apply")
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
