@@ -68,7 +68,10 @@ def _make_feature_block(
             name=name,
         )
         if private:
-            return PassportPrivateBlock(**common)
+            return PassportPrivateBlock(
+                separate_stats=layer_kwargs.get("separate_stats", False),
+                **common,
+            )
         return PassportBlock(
             learnable_affine=layer_kwargs.get("learnable_affine", False), **common
         )

@@ -190,8 +190,16 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
 
     ind=0 (public/deployment): learned scale/bias parameters.
     ind=1 (private/verification): scale/bias derived from the private passports.
-    One shared conv and one shared affine-free norm serve both branches —
-    running BN stats are updated by whichever branch runs. Always ReLU.
+    One shared conv and (by default, like the reference) ONE shared affine-free
+    norm serve both branches — running BN stats are updated by whichever branch
+    runs. Always ReLU.
+
+    separate_stats=True gives each branch its own BN running statistics
+    ('bn' public / 'bn_private'), the per-branch-norm DeepIPR variant the
+    reference's shared-BN version lacks: with shared stats, if the two
+    branches' activation distributions diverge during training, the PUBLIC
+    branch collapses at eval time because the mixed running stats fit neither
+    branch (SURVEY.md §7.5).
     """
 
     features: int
@@ -202,6 +210,7 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
     key_type: str = "random"
     alpha: float = 1.0
     b_spec: Union[None, int, str] = None
+    separate_stats: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -218,7 +227,8 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
         # Passports always exist so both branches share one variable tree.
         key, skey = self._passport_vars(x)
 
-        if ind == 0 and not force_passport:
+        private_branch = ind != 0 or force_passport
+        if not private_branch:
             y = conv(x).astype(jnp.float32)
             scale, bias = pub_scale, pub_bias
         else:
@@ -228,6 +238,16 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
             self._sow_aux(scale, bias, b.value)
 
         norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
+        if self.separate_stats and self.norm_type == "bn":
+            norm_priv = make_norm(self.norm_type, self.features, affine=False,
+                                  name="bn_private")
+            # both stat sets must exist regardless of which branch traces first
+            if self.is_initializing():
+                apply_norm(norm, y, train)
+                apply_norm(norm_priv, y, train)
+            if private_branch:
+                norm = norm_priv
+
         y = apply_norm(norm, y, train)
         y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
         y = nn.relu(y)

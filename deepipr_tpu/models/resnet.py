@@ -53,7 +53,10 @@ def _make_block(
         )
         if private:
             # PassportPrivateBlock always applies ReLU (reference :66)
-            return PassportPrivateBlock(**common)
+            return PassportPrivateBlock(
+                separate_stats=layer_kwargs.get("separate_stats", False),
+                **common,
+            )
         return PassportBlock(
             relu=relu,
             learnable_affine=layer_kwargs.get("learnable_affine", False),

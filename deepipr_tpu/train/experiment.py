@@ -50,6 +50,15 @@ from deepipr_tpu.utils.checkpoint import load_state, save_state
 from deepipr_tpu.utils.config import construct_passport_kwargs
 
 
+def _mark_separate_stats(kwargs: Dict):
+    for v in kwargs.values():
+        if isinstance(v, dict) and "flag" in v:
+            if v["flag"]:
+                v["separate_stats"] = True
+        elif isinstance(v, dict):
+            _mark_separate_stats(v)
+
+
 def derive_scheme(args: Dict) -> int:
     if args.get("train_passport"):
         return 1
@@ -168,6 +177,8 @@ class ClassificationExperiment(Experiment):
             self.passport_kwargs, self.plkeys = construct_passport_kwargs(
                 self.passport_config, self.norm_type, self.key_type, self.sl_ratio
             )
+            if self.args.get("separate_stats"):
+                _mark_separate_stats(self.passport_kwargs)
         else:
             self.passport_kwargs, self.plkeys = None, []
 

@@ -29,6 +29,11 @@ def build_parser():
     p.add_argument("--sign-loss", type=float, default=0.1)
     p.add_argument("--use-trigger-as-passport", action="store_true",
                    default=False)
+    p.add_argument("--separate-stats", action="store_true", default=False,
+                   help="V2/V3: per-branch BN running statistics (the "
+                        "per-branch-norm DeepIPR variant; the reference "
+                        "shares one BN, which can collapse the public "
+                        "branch at eval)")
 
     p.add_argument("--train-passport", action="store_true", default=False)
     p.add_argument("--train-backdoor", action="store_true", default=False)
