@@ -36,7 +36,14 @@ def time_fn(fn, args, steps=50):
 
 def main():
     rng = np.random.default_rng(0)
-    for shape in [(256, 8, 8, 256), (256, 4, 4, 512)]:
+    shapes = [
+        # CIFAR ResNet-18 layer3/layer4 (dispatch-bound at ~16MB working set)
+        (256, 8, 8, 256), (256, 4, 4, 512),
+        # ImageNet ResNet-18 layer1/layer2 at serving batch sizes — the
+        # bandwidth-bound regime the kernel targets (y alone is 51-205MB)
+        (64, 56, 56, 64), (256, 56, 56, 64), (256, 28, 28, 128),
+    ]
+    for shape in shapes:
         n, h, w, c = shape
         y = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         ko = jnp.asarray(rng.normal(size=(1, h, w, c)).astype(np.float32))

@@ -44,6 +44,29 @@ def main():
             "value": round(bs * steps / dt, 1),
         }))
 
+    # Private (verification) branch: A/B the fused Pallas epilogue dispatch.
+    from deepipr_tpu.ops.pallas_fused import set_epilogue_mode
+    for mode in ("off", "auto"):
+        set_epilogue_mode(mode)
+        pred_priv = Predictor(model, state, ind=1)
+        for bs in (256, 1024):
+            x = jax.random.normal(jax.random.key(1), (bs, 32, 32, 3))
+            y = pred_priv.predict(x)
+            float(y[0])
+            t0 = time.time()
+            steps = 30
+            for _ in range(steps):
+                y = pred_priv.predict(x)
+            float(y[0])
+            dt = time.time() - t0
+            print(json.dumps({
+                "metric": "inference images/sec/chip (ResNet-18 private branch)",
+                "epilogue": mode,
+                "batch_size": bs,
+                "value": round(bs * steps / dt, 1),
+            }))
+    set_epilogue_mode("auto")
+
 
 if __name__ == "__main__":
     main()

@@ -26,9 +26,17 @@ import jax
 import jax.numpy as jnp
 
 from deepipr_tpu.ops.conv import Conv2D
-from deepipr_tpu.ops.norms import apply_norm, make_norm
+from deepipr_tpu.ops.norms import StatsBatchNorm, apply_norm, make_norm
+from deepipr_tpu.ops.pallas_fused import (
+    epilogue_mode,
+    epilogue_should_run,
+    passport_epilogue_pallas,
+)
 from deepipr_tpu.passport.codec import encode_signature
-from deepipr_tpu.passport.derive import fused_conv_with_passports
+from deepipr_tpu.passport.derive import (
+    fused_conv_passport_outputs,
+    gap_channel_mean,
+)
 
 # kaiming_normal(mode='fan_out', nonlinearity='relu') — the reference's conv init
 # (conv2d.py:28, passportconv2d.py:88)
@@ -136,6 +144,39 @@ class _PassportMixin:
                 {"scale": scale, "bias": bias, "b": b, "alpha": self.alpha},
             )
 
+    def _derived_affine_forward(self, x, key, skey, conv, norm, train, relu, b):
+        """conv([x; key; skey]) -> (scale, bias) derivation -> norm -> affine
+        (-> ReLU), sowing the aux for the sign loss.
+
+        On the eval path with BN running stats, measured-profitable shapes
+        dispatch to the fused Pallas epilogue (ops/pallas_fused.py: one VMEM
+        pass for GAP + normalize + affine + ReLU); everything else uses the
+        XLA lowering. Both produce identical scale/bias/output semantics.
+        """
+        y, key_out, skey_out = fused_conv_passport_outputs(x, key, skey, conv)
+        n, h, w, c = y.shape
+        if (
+            not train
+            and not self.is_initializing()
+            and isinstance(norm, StatsBatchNorm)
+            and epilogue_should_run(n, h, w, c, bk=key_out.shape[0])
+        ):
+            mean, var = norm.running_stats(self.features)
+            y, scale, bias = passport_epilogue_pallas(
+                y, key_out, skey_out, mean, var, eps=norm.epsilon, relu=relu,
+                interpret=epilogue_mode() == "interpret",
+            )
+            scale, bias = scale[0], bias[0]
+        else:
+            scale = gap_channel_mean(skey_out)
+            bias = gap_channel_mean(key_out)
+            y = apply_norm(norm, y, train)
+            y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
+            if relu:
+                y = nn.relu(y)
+        self._sow_aux(scale, bias, b.value)
+        return y
+
 
 class PassportBlock(nn.Module, _PassportMixin):
     """V1 passport layer (reference: models/layers/passportconv2d.py:11-223).
@@ -165,22 +206,20 @@ class PassportBlock(nn.Module, _PassportMixin):
         conv = self._conv()
         b = self._signature_var()
         key, skey = self._passport_vars(x)
+        norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
 
         if self.learnable_affine and not force_passport:
             y = conv(x).astype(jnp.float32)
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = apply_norm(norm, y, train)
+            y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
+            if self.relu:
+                y = nn.relu(y)
         else:
-            y, scale, bias = fused_conv_with_passports(
-                x, key.value, skey.value, conv
+            y = self._derived_affine_forward(
+                x, key.value, skey.value, conv, norm, train, self.relu, b
             )
-            self._sow_aux(scale, bias, b.value)
-
-        norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
-        y = apply_norm(norm, y, train)
-        y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
-        if self.relu:
-            y = nn.relu(y)
         return y.astype(self.dtype) if self.dtype else y
 
 
@@ -228,27 +267,28 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
         key, skey = self._passport_vars(x)
 
         private_branch = ind != 0 or force_passport
-        if not private_branch:
-            y = conv(x).astype(jnp.float32)
-            scale, bias = pub_scale, pub_bias
-        else:
-            y, scale, bias = fused_conv_with_passports(
-                x, key.value, skey.value, conv
-            )
-            self._sow_aux(scale, bias, b.value)
-
         norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
         if self.separate_stats and self.norm_type == "bn":
             norm_priv = make_norm(self.norm_type, self.features, affine=False,
                                   name="bn_private")
             # both stat sets must exist regardless of which branch traces first
             if self.is_initializing():
-                apply_norm(norm, y, train)
-                apply_norm(norm_priv, y, train)
+                z = conv(x).astype(jnp.float32)
+                apply_norm(norm, z, train)
+                apply_norm(norm_priv, z, train)
             if private_branch:
                 norm = norm_priv
 
-        y = apply_norm(norm, y, train)
-        y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
-        y = nn.relu(y)
+        if not private_branch:
+            y = conv(x).astype(jnp.float32)
+            y = apply_norm(norm, y, train)
+            y = (
+                pub_scale.reshape(1, 1, 1, -1) * y
+                + pub_bias.reshape(1, 1, 1, -1)
+            )
+            y = nn.relu(y)
+        else:
+            y = self._derived_affine_forward(
+                x, key.value, skey.value, conv, norm, train, True, b
+            )
         return y.astype(self.dtype) if self.dtype else y

@@ -20,6 +20,32 @@ from typing import Optional
 import flax.linen as nn
 
 
+class StatsBatchNorm(nn.BatchNorm):
+    """nn.BatchNorm plus an accessor for the running statistics.
+
+    Behavior is identical to nn.BatchNorm by construction (nothing is
+    overridden); ``running_stats`` lets the fused Pallas passport epilogue
+    (ops/pallas_fused.py) consume mean/var directly on the eval path without
+    applying the norm separately. The variable layout ('batch_stats' ->
+    mean/var) is unchanged, so checkpoints and torch interop are unaffected.
+    Within one module apply, exactly one of __call__ / running_stats runs, so
+    both declare the same variables without conflict.
+    """
+
+    def running_stats(self, features: int):
+        # Read-only: the stats always exist by the time this runs (model init
+        # goes through __call__, which declares them); reading avoids the
+        # declare-outside-compact restriction.
+        mean = self.get_variable("batch_stats", "mean")
+        var = self.get_variable("batch_stats", "var")
+        if mean is None or var is None:
+            raise ValueError(
+                "running_stats called before batch_stats were initialized; "
+                "initialize the model with a __call__ pass first"
+            )
+        return mean, var
+
+
 def make_norm(
     norm_type: str, features: int, affine: Optional[bool] = None, name: str = "bn"
 ):
@@ -30,7 +56,7 @@ def make_norm(
     """
     if norm_type == "bn":
         use_affine = True if affine is None else affine
-        return nn.BatchNorm(
+        return StatsBatchNorm(
             momentum=0.9,
             epsilon=1e-5,
             use_scale=use_affine,

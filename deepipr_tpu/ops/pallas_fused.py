@@ -103,3 +103,47 @@ def passport_epilogue_pallas(
 def epilogue_fits_vmem(h: int, w: int, c: int, itemsize: int = 4) -> bool:
     """Whether the per-program working set fits the VMEM budget."""
     return 4 * h * w * c * itemsize <= _VMEM_LIMIT_BYTES
+
+
+# --------------------------------------------------------------- dispatch mode
+#
+# Measured STANDALONE on v5e (benchmarks/bench_epilogue.py, 2026-08-16):
+#   (256, 4, 4, 512): XLA 1636us  Pallas  827us   <- 2.0x win (dispatch-bound)
+#   (256, 8, 8, 256): XLA  745us  Pallas  967us
+#   (256,56,56, 64):  XLA 1192us  Pallas 3653us   (bandwidth-bound; XLA wins)
+# But measured IN-MODEL (benchmarks/bench_inference.py, ResNet-18 private
+# branch, same day): off 119.2k img/s vs auto 99.9k at bs1024 — inside the
+# full jitted forward XLA fuses the epilogue into its neighbors, and the
+# pallas_call boundary breaks that fusion. The standalone win is a dispatch
+# artifact, so the DEFAULT IS OFF; 'auto'/'on' remain for model families
+# whose epilogues are genuinely unfused, 'interpret' for CPU tests.
+
+_EPILOGUE_MODE = "off"  # off | auto | on | interpret (CPU tests)
+
+
+def set_epilogue_mode(mode: str) -> None:
+    """Global dispatch mode for the fused epilogue.
+
+    'off' (default — measured fastest end-to-end on ResNet-18/v5e).
+    'auto': TPU backend + standalone-profitable shapes. 'on': force (still
+    requires the VMEM fit). 'interpret': run the kernel in interpreter mode
+    on any backend — for CPU integration tests.
+    """
+    global _EPILOGUE_MODE
+    if mode not in ("auto", "on", "off", "interpret"):
+        raise ValueError(f"unknown epilogue mode: {mode}")
+    _EPILOGUE_MODE = mode
+
+
+def epilogue_mode() -> str:
+    return _EPILOGUE_MODE
+
+
+def epilogue_should_run(n: int, h: int, w: int, c: int, bk: int = 1) -> bool:
+    """Shape-dispatch decision for the eval-path passport epilogue."""
+    if _EPILOGUE_MODE == "off" or bk != 1 or not epilogue_fits_vmem(h, w, c):
+        return False
+    if _EPILOGUE_MODE in ("on", "interpret"):
+        return True
+    # auto: only the measured dispatch-bound regime, and only on real TPU
+    return h * w <= 16 and c >= 256 and jax.default_backend() == "tpu"

@@ -69,6 +69,26 @@ def derive_affine(
     return scale, bias
 
 
+def fused_conv_passport_outputs(
+    x: jax.Array,
+    key: jax.Array,
+    skey: jax.Array,
+    conv_fn: Callable[[jax.Array], jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One batched convolution over [x; key; skey]; raw per-row outputs.
+
+    Returns (y, key_out, skey_out) in f32: y = conv(x) of shape (N, H', W', C),
+    key_out/skey_out = conv over the passports, shape (Bk, H', W', C) — still
+    spatial, for consumers that fuse the GAP themselves (the Pallas epilogue).
+    """
+    n = x.shape[0]
+    bk = key.shape[0]
+    stacked = jnp.concatenate([x, key.astype(x.dtype), skey.astype(x.dtype)], axis=0)
+    # upcast once: epilogue + scale derivation stay f32 under bf16 compute
+    out = conv_fn(stacked).astype(jnp.float32)
+    return out[:n], out[n : n + bk], out[n + bk :]
+
+
 def fused_conv_with_passports(
     x: jax.Array,
     key: jax.Array,
@@ -86,12 +106,7 @@ def fused_conv_with_passports(
     the passports ride along as extra batch rows, which keeps the MXU tiles
     large and avoids two tiny batch-1 convolutions.
     """
-    n = x.shape[0]
-    bk = key.shape[0]
-    stacked = jnp.concatenate([x, key.astype(x.dtype), skey.astype(x.dtype)], axis=0)
-    # upcast once: epilogue + scale derivation stay f32 under bf16 compute
-    out = conv_fn(stacked).astype(jnp.float32)
-    y = out[:n]
-    bias = gap_channel_mean(out[n : n + bk])
-    scale = gap_channel_mean(out[n + bk :])
+    y, key_out, skey_out = fused_conv_passport_outputs(x, key, skey, conv_fn)
+    bias = gap_channel_mean(key_out)
+    scale = gap_channel_mean(skey_out)
     return y, scale, bias

@@ -295,7 +295,7 @@ class ClassificationExperiment(Experiment):
 
     def _train_epoch(self, ep: int) -> Dict:
         t0 = time.time()
-        sums: Dict[str, float] = {}
+        sums = None
         count = 0
         images = 0
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
@@ -303,9 +303,14 @@ class ClassificationExperiment(Experiment):
             images += int(batch["label"].shape[0])
             self.state, metrics = self.train_step(self.state, batch)
             count += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        out = {k: v / max(count, 1) for k, v in sums.items()}
+            # accumulate as device scalars; a per-step float() would force a
+            # host round-trip between every dispatch and serialize the loop
+            sums = (
+                metrics
+                if sums is None
+                else jax.tree.map(lambda a, b: a + b, sums, metrics)
+            )
+        out = {k: float(v) / max(count, 1) for k, v in (sums or {}).items()}
         out["time"] = time.time() - t0
         out["images_per_sec"] = images / max(out["time"], 1e-9)
         return out

@@ -58,6 +58,16 @@ def collect_taps(model, variables, x) -> Dict[str, Any]:
     return taps
 
 
+def get_intermediate_activation(model, variables, x, layer_path: str) -> np.ndarray:
+    """Input activation entering one named layer (reference
+    get_intermediate_key, passport_generator.py:20-27 — there a hook on a
+    single module; here a one-shot taps pass filtered to the path)."""
+    taps = collect_taps(model, variables, x)
+    if layer_path not in taps:
+        raise KeyError(f"no tap for layer {layer_path}; available: {sorted(taps)}")
+    return taps[layer_path]
+
+
 def _layer_seed(base_seed: int, path: str, which: str) -> int:
     h = hashlib.sha256(f"{base_seed}:{path}:{which}".encode()).digest()
     return int.from_bytes(h[:4], "little")

@@ -173,14 +173,21 @@ def test_signature(model, state: TrainState, input_shape, private: bool):
 
 
 def run_eval(step, state, dataset):
-    """Drive a prebuilt eval step over a dataset -> {'loss', 'acc'}."""
-    ce_sum, correct, count = 0.0, 0, 0
+    """Drive a prebuilt eval step over a dataset -> {'loss', 'acc'}.
+
+    Accumulates the per-batch sums as device scalars and fetches the result
+    once at the end, so batches pipeline (a per-batch float() would force a
+    host sync between every dispatch — measurable on a relayed TPU).
+    """
+    ce_sum, correct, count = None, None, 0
     for batch in dataset:
         out = step(state, batch)
-        ce_sum += float(out["ce_sum"])
-        correct += int(out["correct"])
+        ce_sum = out["ce_sum"] if ce_sum is None else ce_sum + out["ce_sum"]
+        correct = out["correct"] if correct is None else correct + out["correct"]
         count += batch["label"].shape[0]
-    return {"loss": ce_sum / max(count, 1), "acc": 100.0 * correct / max(count, 1)}
+    if count == 0:
+        return {"loss": 0.0, "acc": 0.0}
+    return {"loss": float(ce_sum) / count, "acc": 100.0 * int(correct) / count}
 
 
 def evaluate(model, state, dataset, ind: int = 0, force_passport: bool = False):

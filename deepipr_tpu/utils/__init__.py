@@ -5,5 +5,11 @@ from deepipr_tpu.utils.config import (
     load_lr_config,
     load_passport_config,
 )
+from deepipr_tpu.utils.meters import AverageMeter
 
-__all__ = ["construct_passport_kwargs", "load_lr_config", "load_passport_config"]
+__all__ = [
+    "AverageMeter",
+    "construct_passport_kwargs",
+    "load_lr_config",
+    "load_passport_config",
+]

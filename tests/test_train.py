@@ -10,7 +10,9 @@ from deepipr_tpu.models import AlexNet, build_model
 from deepipr_tpu.parallel import make_mesh, replicate, shard_batch
 from deepipr_tpu.train import (
     TrainState,
+    collect_taps,
     evaluate,
+    get_intermediate_activation,
     make_train_step,
     multistep_lr,
     sample_candidates,
@@ -127,6 +129,18 @@ class TestKeySetup:
         y, _ = passport_model.apply(v2, x, mutable=["batch_stats"])
         assert y.shape == (2, 10)
 
+    def test_get_intermediate_activation_matches_tap(self):
+        nm = AlexNet(num_classes=10)
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 16, 16, 3)).astype(np.float32)
+        )
+        nv = nm.init(RNGS, x, train=True)
+        act = get_intermediate_activation(nm, nv, x, "features_4")
+        taps = collect_taps(nm, nv, x)
+        np.testing.assert_array_equal(act, taps["features_4"])
+        with pytest.raises(KeyError):
+            get_intermediate_activation(nm, nv, x, "not_a_layer")
+
     def test_key_type_image_single_candidate(self):
         kw, _ = construct_passport_kwargs({"0": False, "2": False, "4": True,
                                            "5": True, "6": True}, "bn", "image", 0.1)
@@ -177,3 +191,21 @@ class TestSharding:
         state, m = step(state, batch)
         state, m = step(state, batch)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestMeters:
+    def test_average_meter(self):
+        from deepipr_tpu.utils import AverageMeter
+        m = AverageMeter()
+        m.update(1.0)
+        m.update(3.0, n=3)
+        assert m.val == 3.0
+        assert m.count == 4
+        assert m.avg == pytest.approx(2.5)
+        m.reset()
+        assert m.avg == 0.0 and m.count == 0
+
+    def test_run_eval_empty_dataset(self):
+        from deepipr_tpu.train.steps import run_eval
+        out = run_eval(None, None, [])
+        assert out == {"loss": 0.0, "acc": 0.0}
