@@ -57,6 +57,13 @@ def construct_passport_kwargs(
     return kwargs, plkeys
 
 
+# The reference splits this into construct_passport_kwargs(experiment) and
+# construct_passport_kwargs_from_dict(dict) (experiments/utils.py:6-97); here
+# the dict-based form IS the canonical one, so the _from_dict name is an alias
+# kept for API parity (the attack CLIs of the reference import it by name).
+construct_passport_kwargs_from_dict = construct_passport_kwargs
+
+
 def load_passport_config(path: str) -> Dict[str, Any]:
     with open(path) as f:
         return json.load(f)
