@@ -176,3 +176,17 @@ class TestTorchGolden:
             ty.permute(0, 2, 3, 1).numpy(),
             rtol=1e-4, atol=1e-5,
         )
+
+
+class TestConfigBuilder:
+    def test_from_dict_alias(self):
+        """The reference exposes both construct_passport_kwargs and
+        construct_passport_kwargs_from_dict (experiments/utils.py:6-97);
+        here the dict form is canonical and the _from_dict name is an alias."""
+        from deepipr_tpu.utils import construct_passport_kwargs_from_dict
+        kw, plkeys = construct_passport_kwargs_from_dict(
+            {"4": True, "5": "hi", "2": False}, "bn", "shuffle", 0.1
+        )
+        assert plkeys == ["4", "5"]
+        assert kw["5"]["b"] == "hi" and kw["5"]["flag"] is True
+        assert kw["2"]["flag"] is False
