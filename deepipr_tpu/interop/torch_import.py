@@ -30,6 +30,27 @@ from deepipr_tpu.utils.tree import flatten_paths, unflatten_paths
 
 _IGNORED = ("num_batches_tracked", "sign_loss.b", "sign_loss_private.b")
 
+# Linear layers that consume a *flattened conv feature map*. The reference
+# flattens NCHW (`x.view(n, -1)`, models/alexnet_passport_private.py:119) while
+# our models flatten NHWC, so the kernel's input dim must be re-ordered
+# channel-last on import. Keyed by (module path, in_features):
+#   CIFAR AlexNet classifier: Linear(4*4*256, n)  -> feature map (256, 4, 4)
+#   ImageNet AlexNet classifier.1: Linear(256*6*6, 4096) after AdaptiveAvgPool
+# ResNet's `linear` follows global average pooling (pure channel vector), so
+# it needs no re-ordering.
+_FLATTENED_LINEAR_SHAPES = {
+    ("classifier", 4096): (256, 4, 4),
+    ("classifier_1", 9216): (256, 6, 6),
+}
+
+
+def _chw_to_hwc_columns(w: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray:
+    """Reorder a (out, C*H*W) Linear weight's columns to (out, H*W*C)."""
+    c, h, wd = chw
+    return w.reshape(w.shape[0], c, h, wd).transpose(0, 2, 3, 1).reshape(
+        w.shape[0], -1
+    )
+
 
 def _module_path(parts: List[str]) -> str:
     """['features','4'] -> 'features_4'; ['layer1','0','convbn_2'] ->
@@ -57,7 +78,17 @@ def convert_torch_state_dict(
     flat: Dict[str, np.ndarray] = {}
     skipped: List[str] = []
 
+    # The reference passport blocks alias `self.weight = self.conv.weight`
+    # (passportconv2d.py:22, passportconv2d_private.py:21), so real state
+    # dicts carry a duplicate block-level `weight`; drop the alias.
+    aliases = {
+        k for k in sd
+        if k.endswith(".weight") and f"{k[:-7]}.conv.weight" in sd
+    }
+
     for key, value in sd.items():
+        if key in aliases:
+            continue
         if any(key.endswith(suf) for suf in _IGNORED):
             continue
         v = np.asarray(
@@ -86,6 +117,9 @@ def convert_torch_state_dict(
         elif leaf in ("scale", "bias") and not mod.endswith(("/bn", "/conv")):
             flat[f"params/{mod}/{leaf}"] = v.reshape(-1)
         elif leaf == "weight" and v.ndim == 2:  # Linear
+            chw = _FLATTENED_LINEAR_SHAPES.get((mod, v.shape[1]))
+            if chw is not None:
+                v = _chw_to_hwc_columns(v, chw)
             flat[f"params/{mod}/kernel"] = v.transpose(1, 0)
         elif leaf == "bias" and v.ndim == 1:  # Linear bias (or bare conv bias)
             flat[f"params/{mod}/bias"] = v
