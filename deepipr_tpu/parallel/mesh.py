@@ -27,6 +27,12 @@ def make_mesh(
     n = len(devices)
     if batch_axis == -1:
         batch_axis = n // model_axis
+    if batch_axis * model_axis != n:
+        raise ValueError(
+            f"make_mesh: {n} devices cannot form a ({batch_axis} batch x "
+            f"{model_axis} model) mesh; pass a device count divisible by "
+            f"model_axis={model_axis}"
+        )
     arr = np.asarray(devices).reshape(batch_axis, model_axis)
     return Mesh(arr, ("batch", "model"))
 

@@ -282,14 +282,35 @@ class ClassificationExperiment(Experiment):
     # --------------------------------------------------------------- training
 
     def _batches(self):
-        """Augmented (+ trigger-concatenated) batch stream for one epoch."""
+        """Augmented (+ trigger-concatenated) batch stream for one epoch.
+
+        V3 concatenates a size-2 trigger batch onto every task batch
+        (reference trainer.py:115-126). Under a multi-device mesh that total
+        (B+2) is rarely divisible by the batch axis, so the batch is padded to
+        the next multiple with extra trigger images carried at loss weight 0
+        — shapes stay static, the loss stays the reference's mean over the
+        B+2 real samples.
+        """
         wm_iter = CyclingIterator(self.wm_data) if self.wm_data else None
+        n_shards = int(self.mesh.shape["batch"]) if self.mesh is not None else 1
         for batch in self.train_data:
             if wm_iter is not None:
                 wb = wm_iter.next()
+                images = [batch["image"], wb["image"]]
+                labels = [batch["label"], wb["label"]]
+                real = sum(len(x) for x in images)
+                pad = (-real) % n_shards
+                weight = np.ones(real + pad, np.float32)
+                weight[real:] = 0.0
+                while pad > 0:
+                    extra = wm_iter.next()
+                    images.append(extra["image"][:pad])
+                    labels.append(extra["label"][:pad])
+                    pad -= len(extra["image"][:pad])
                 batch = {
-                    "image": np.concatenate([batch["image"], wb["image"]]),
-                    "label": np.concatenate([batch["label"], wb["label"]]),
+                    "image": np.concatenate(images),
+                    "label": np.concatenate(labels),
+                    "weight": weight,
                 }
             yield batch
 
@@ -315,18 +336,23 @@ class ClassificationExperiment(Experiment):
         out["images_per_sec"] = images / max(out["time"], 1e-9)
         return out
 
-    def _valid_metrics(self) -> Dict:
+    def _dual_eval(self, data, state=None) -> Dict:
+        """Evaluate a loader through both branches for private schemes
+        (reference TesterPrivate.test, trainer_private.py:218-251); single
+        branch otherwise."""
+        state = self.state if state is None else state
         if self.private:
-            pub = run_eval(self.eval_steps[0], self.state, self.valid_data)
-            priv = run_eval(self.eval_steps[1], self.state, self.valid_data)
-            out = {
+            pub = run_eval(self.eval_steps[0], state, data)
+            priv = run_eval(self.eval_steps[1], state, data)
+            return {
                 "loss_public": pub["loss"], "acc_public": pub["acc"],
                 "loss_private": priv["loss"], "acc_private": priv["acc"],
                 "total_acc": (pub["acc"] + priv["acc"]) / 2,
             }
-        else:
-            out = run_eval(self.eval_steps[0], self.state, self.valid_data)
-        return out
+        return run_eval(self.eval_steps[0], state, data)
+
+    def _valid_metrics(self) -> Dict:
+        return self._dual_eval(self.valid_data)
 
     def _signature_metrics(self) -> Dict:
         if self.signature_fn is None:
@@ -358,7 +384,9 @@ class ClassificationExperiment(Experiment):
             valid_metrics = self._valid_metrics()
             wm_metrics = {}
             if self.train_backdoor and self.wm_data is not None:
-                wm_metrics = run_eval(self.eval_steps[0], self.state, self.wm_data)
+                # reference 'WM Result': both branches for private schemes
+                # (classification_private.py:139)
+                wm_metrics = self._dual_eval(self.wm_data)
             sig = self._signature_metrics()
 
             metrics = {f"train_{k}": v for k, v in train_metrics.items()}

@@ -28,13 +28,26 @@ from deepipr_tpu.passport.sign_loss import total_sign_loss
 from deepipr_tpu.train.state import TrainState
 
 
-def cross_entropy_mean(logits, labels):
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+def cross_entropy_mean(logits, labels, weight=None):
+    """Mean CE; with a per-sample weight vector, the weighted mean.
+
+    Weights exist for SPMD padding only: a V3 step batch is task_batch +
+    trigger pair (reference trainer.py:115-126), which is rarely divisible by
+    the mesh's batch axis — the data layer pads with weight-0 samples so the
+    loss stays the reference's mean over the real samples.
+    """
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if weight is None:
+        return ce.mean()
+    return (ce * weight).sum() / jnp.maximum(weight.sum(), 1.0)
 
 
-def top1_accuracy(logits, labels):
+def top1_accuracy(logits, labels, weight=None):
     """Percentage top-1 accuracy (reference accuracy(), trainer.py:28-43)."""
-    return 100.0 * jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+    hit = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    if weight is None:
+        return 100.0 * jnp.mean(hit)
+    return 100.0 * (hit * weight).sum() / jnp.maximum(weight.sum(), 1.0)
 
 
 def collect_aux(updates) -> List[Dict[str, Any]]:
@@ -74,6 +87,7 @@ def make_train_step(model, private: bool):
 
     def step(state: TrainState, batch):
         x, y = batch["image"], batch["label"]
+        w = batch.get("weight")  # per-sample weights (SPMD padding), or None
         # deterministic per-step dropout rng (only consumed by models that
         # have dropout, i.e. the ImageNet AlexNet classifier)
         rngs = {"dropout": jax.random.fold_in(jax.random.key(0), state.step)}
@@ -92,22 +106,23 @@ def make_train_step(model, private: bool):
                     variables, x, ind=1, train=True, rngs=rngs,
                     mutable=["batch_stats", "passport_aux"],
                 )
-                ce = cross_entropy_mean(logits0, y) + cross_entropy_mean(logits1, y)
+                ce = cross_entropy_mean(logits0, y, w) + cross_entropy_mean(
+                    logits1, y, w)
                 sl, sacc = total_sign_loss(collect_aux(upd1))
                 new_stats = upd1.get("batch_stats", state.batch_stats)
                 metrics = {
-                    "acc_public": top1_accuracy(logits0, y),
-                    "acc_private": top1_accuracy(logits1, y),
+                    "acc_public": top1_accuracy(logits0, y, w),
+                    "acc_private": top1_accuracy(logits1, y, w),
                 }
             else:
                 logits, upd = model.apply(
                     variables, x, train=True, rngs=rngs,
                     mutable=["batch_stats", "passport_aux"],
                 )
-                ce = cross_entropy_mean(logits, y)
+                ce = cross_entropy_mean(logits, y, w)
                 sl, sacc = total_sign_loss(collect_aux(upd))
                 new_stats = upd.get("batch_stats", state.batch_stats)
-                metrics = {"acc": top1_accuracy(logits, y)}
+                metrics = {"acc": top1_accuracy(logits, y, w)}
 
             loss = ce + sl
             metrics.update({"loss": ce, "sign_loss": sl, "sign_acc": sacc})

@@ -38,6 +38,18 @@ from deepipr_tpu.utils.checkpoint import save_state
 from deepipr_tpu.utils.tree import flatten_paths, unflatten_paths
 
 
+def _copied_back_state(exp, tl_state):
+    """The original passport model's state with the fine-tuned clone's
+    matching weights (and BN stats) copied back in — the reference's
+    per-epoch `self.model.load_state_dict(tl_model.state_dict())` surgery
+    (classification_private.py:275-305)."""
+    new_params = copy_matching(tl_state.params, exp.state.params)
+    new_stats = exp.state.batch_stats
+    if tl_state.batch_stats and exp.state.batch_stats:
+        new_stats = copy_matching(tl_state.batch_stats, exp.state.batch_stats)
+    return exp.state.replace(params=new_params, batch_stats=new_stats)
+
+
 def _signature_survival(exp, tl_params, plpaths) -> Dict[str, float]:
     """Per-layer signature detection after fine-tuning."""
     sig = flatten_paths(jax.device_get(exp.state.signature))
@@ -139,6 +151,14 @@ def transfer_learning(exp) -> List[Dict]:
                 f"old_wm_passport_{k}": v
                 for k, v in _signature_survival(exp, tl_state.params, plpaths).items()
             })
+        if exp.train_backdoor and exp.wm_data is not None:
+            # reference 'Old WM Accuracy' (classification_private.py:309 /
+            # classification.py:236-238): re-test the trigger set through the
+            # ORIGINAL model with the fine-tuned weights copied back in —
+            # does the backdoor survive fine-tuning?
+            back = exp._dual_eval(
+                exp.wm_data, state=_copied_back_state(exp, tl_state))
+            row.update({f"backdoor_{k}": v for k, v in back.items()})
         row["epoch"] = ep
         history.append(row)
         print(f"TL epoch {ep:3d} " + " ".join(

@@ -78,3 +78,42 @@ class TestExperimentRuns:
         a2 = ClassificationExperiment(base_args(tmp_path))
         assert a1.logdir.endswith("/1")
         assert a2.logdir.endswith("/2")
+
+
+class TestV3Backdoor:
+    """Trigger-set evaluation parity for the private scheme (reference
+    classification_private.py:139 and :309)."""
+
+    def test_wm_metrics_cover_both_branches(self, tmp_path):
+        exp = ClassificationExperiment(
+            base_args(tmp_path, train_private=True, train_backdoor=True))
+        exp.training()
+        d = os.path.join(str(tmp_path / "logs"), "alexnet_synthetic_v3", "1")
+        header = open(os.path.join(d, "history.csv")).readline()
+        # 'WM Result' goes through TesterPrivate.test -> both branches
+        assert "wm_acc_public" in header
+        assert "wm_acc_private" in header
+        assert "wm_total_acc" in header
+
+    def test_transfer_learning_retests_backdoor_each_epoch(self, tmp_path):
+        from deepipr_tpu.train.transfer import transfer_learning
+
+        exp = ClassificationExperiment(
+            base_args(tmp_path, train_private=True, train_backdoor=True))
+        exp.training()
+        ckpt = os.path.join(exp.logdir, "models", "last.ckpt")
+
+        tl_exp = ClassificationExperiment(base_args(
+            tmp_path, train_private=True, train_backdoor=True,
+            transfer_learning=True, pretrained_path=ckpt,
+            tl_dataset="synthetic"))
+        history = transfer_learning(tl_exp)
+        assert history, "TL produced no epochs"
+        row = history[0]
+        # 'Old WM Accuracy': trigger set through the ORIGINAL model with the
+        # fine-tuned weights copied back, both branches
+        assert "backdoor_acc_public" in row
+        assert "backdoor_acc_private" in row
+        assert "backdoor_total_acc" in row
+        # signature survival is tracked alongside
+        assert any(k.startswith("old_wm_passport_private") for k in row)
