@@ -1,0 +1,368 @@
+"""Data pipeline: CIFAR / Caltech / ImageNet / trigger-set / synthetic.
+
+Mirrors the reference's dataset.py semantics with a NumPy host pipeline feeding
+NHWC float32 batches (static shapes, drop_last for training):
+
+- train transforms: RandomCrop(pad = 4/32 * size) + RandomHorizontalFlip +
+  ImageNet mean/std normalization (dataset.py:268-293); transfer-learning mode
+  drops the random crop (dataset.py:282-284).
+- test transforms: normalization only (32px CIFAR) or Resize+CenterCrop (224).
+- trigger set: WatermarkNN folder + labels-cifar.txt, CenterCrop, batch 2,
+  drop_last, cycled batch-by-batch onto training batches (dataset.py:142-193).
+- 'synthetic': a deterministic offline stand-in (fixed-seed images, labels from
+  a fixed random linear probe) so training/benchmarks run with zero egress.
+
+Datasets are in-memory uint8; augmentation + normalization are vectorized
+NumPy per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+def load_cifar(root: str, name: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Load CIFAR-10/100 from the standard python-pickle layout on disk."""
+    if name == "cifar10":
+        d = os.path.join(root, "cifar-10-batches-py")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"CIFAR-10 not found at {d}; place the extracted "
+                "cifar-10-batches-py directory there (no network access)."
+            )
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(d, f"data_batch_{i}"), "rb") as f:
+                b = pickle.load(f, encoding="bytes")
+            xs.append(b[b"data"])
+            ys.extend(b[b"labels"])
+        with open(os.path.join(d, "test_batch"), "rb") as f:
+            b = pickle.load(f, encoding="bytes")
+        test_x, test_y = b[b"data"], b[b"labels"]
+    else:
+        d = os.path.join(root, "cifar-100-python")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"CIFAR-100 not found at {d}")
+        with open(os.path.join(d, "train"), "rb") as f:
+            b = pickle.load(f, encoding="bytes")
+        xs, ys = [b[b"data"]], list(b[b"fine_labels"])
+        with open(os.path.join(d, "test"), "rb") as f:
+            b = pickle.load(f, encoding="bytes")
+        test_x, test_y = b[b"data"], b[b"fine_labels"]
+
+    def to_nhwc(flat):
+        return (
+            np.concatenate([np.asarray(a) for a in np.atleast_1d(flat)])
+            if isinstance(flat, list)
+            else np.asarray(flat)
+        ).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+
+    train_x = to_nhwc(np.concatenate(xs))
+    return (
+        train_x.astype(np.uint8),
+        np.asarray(ys, np.int32),
+        to_nhwc(test_x).astype(np.uint8),
+        np.asarray(test_y, np.int32),
+    )
+
+
+def synthetic_dataset(
+    num_train=2048, num_test=512, size=32, num_classes=10, seed=0,
+    noise: float = 0.6,
+):
+    """Deterministic, CNN-learnable toy data with balanced classes.
+
+    Each class is a low-resolution random template upsampled to the image
+    size; examples are template + heavy pixel noise. Template matching is
+    exactly what convolutions learn, so small models reach high accuracy in a
+    few epochs — while fake-passport corruption still collapses it.
+    """
+    rng = np.random.default_rng(seed)
+    n = num_train + num_test
+    y = rng.integers(0, num_classes, n).astype(np.int32)
+    low = size // 4
+    templates = rng.uniform(-1, 1, (num_classes, low, low, 3)).astype(np.float32)
+    up = np.kron(templates, np.ones((1, 4, 4, 1), np.float32))
+    signal = up[y]
+    eps = rng.normal(0, 1, (n, size, size, 3)).astype(np.float32)
+    x = np.clip(128 + 64 * signal + 64 * noise * eps, 0, 255).astype(np.uint8)
+    return x[:num_train], y[:num_train], x[num_train:], y[num_train:]
+
+
+def load_image_folder(root: str, size: int = 224, center_crop: bool = True,
+                      resize_ratio: float = 256 / 224):
+    """Minimal ImageFolder: root/<class>/<img> -> resized uint8 arrays.
+
+    center_crop=True: short side scaled to size*resize_ratio, then center
+    crop to size (the reference's Resize+CenterCrop; ratio 256/224 for
+    ImageNet eval, 1.0 for Caltech's Resize(32)+CenterCrop(32)).
+    """
+    from PIL import Image
+
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    xs, ys = [], []
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fn in sorted(os.listdir(cdir)):
+            img = Image.open(os.path.join(cdir, fn)).convert("RGB")
+            if center_crop:
+                short = min(img.size)
+                scale = int(size * resize_ratio) / short
+                img = img.resize(
+                    (max(size, round(img.size[0] * scale)),
+                     max(size, round(img.size[1] * scale)))
+                )
+                w, h = img.size
+                left, top = (w - size) // 2, (h - size) // 2
+                img = img.crop((left, top, left + size, top + size))
+            else:
+                img = img.resize((size, size))
+            xs.append(np.asarray(img, np.uint8))
+            ys.append(ci)
+    return np.stack(xs), np.asarray(ys, np.int32), classes
+
+
+def load_caltech(root: str, num_classes: int, size: int = 32, seed: int = 7):
+    """Caltech-101/256 with the reference's per-class 80/20 split and
+    Resize+CenterCrop transform (dataset.py:14-139, 274-278)."""
+    x, y, _ = load_image_folder(root, size=size, center_crop=True,
+                                resize_ratio=1.0)
+    rng = np.random.default_rng(seed)
+    train_idx, test_idx = [], []
+    for c in np.unique(y):
+        idx = np.where(y == c)[0]
+        rng.shuffle(idx)
+        k = int(0.8 * len(idx))
+        train_idx.extend(idx[:k])
+        test_idx.extend(idx[k:])
+    train_idx, test_idx = np.asarray(train_idx), np.asarray(test_idx)
+    return x[train_idx], y[train_idx], x[test_idx], y[test_idx]
+
+
+# ---------------------------------------------------------------------------
+# transforms + loader
+# ---------------------------------------------------------------------------
+
+def normalize(batch_u8: np.ndarray) -> np.ndarray:
+    from deepipr_tpu.data.native import normalize_native
+
+    out = normalize_native(batch_u8, IMAGENET_MEAN, IMAGENET_STD)
+    if out is not None:
+        return out
+    x = batch_u8.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _apply_crop_flip(batch_u8, ys, xs, flips, pad):
+    """NumPy reference for the native kernel: zero-pad crop + hflip."""
+    n, h, w, c = batch_u8.shape
+    out = batch_u8
+    if pad > 0:
+        padded = np.pad(
+            out, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="constant"
+        )
+        out = np.stack(
+            [padded[i, ys[i]:ys[i] + h, xs[i]:xs[i] + w] for i in range(n)]
+        )
+    out = out.copy()
+    out[flips] = out[flips, :, ::-1]
+    return out
+
+
+def augment_normalize(batch_u8: np.ndarray, rng: np.random.Generator,
+                      pad: int, random_crop: bool = True) -> np.ndarray:
+    """Fused train transform: zero-pad random crop + hflip + normalization.
+
+    Uses the native C++ kernel when available (one cache-friendly pass);
+    NumPy fallback is draw-for-draw identical.
+    """
+    from deepipr_tpu.data.native import augment_normalize_native
+
+    n = batch_u8.shape[0]
+    crop_pad = pad if (random_crop and pad > 0) else 0
+    if crop_pad:
+        ys = rng.integers(0, 2 * pad + 1, n).astype(np.int32)
+        xs = rng.integers(0, 2 * pad + 1, n).astype(np.int32)
+    else:
+        ys = np.zeros(n, np.int32)
+        xs = np.zeros(n, np.int32)
+    flips = rng.random(n) < 0.5
+
+    out = augment_normalize_native(
+        batch_u8, ys, xs, flips.astype(np.uint8), crop_pad,
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+    if out is not None:
+        return out
+    return normalize(_apply_crop_flip(batch_u8, ys, xs, flips, crop_pad))
+
+
+def augment(batch_u8: np.ndarray, rng: np.random.Generator, pad: int,
+            random_crop: bool = True) -> np.ndarray:
+    """Random crop (with reflection-free zero pad, torch default) + hflip."""
+    n = batch_u8.shape[0]
+    if random_crop and pad > 0:
+        ys = rng.integers(0, 2 * pad + 1, n)
+        xs = rng.integers(0, 2 * pad + 1, n)
+    else:
+        ys = xs = np.zeros(n, np.int32)
+        pad = 0
+    flips = rng.random(n) < 0.5
+    return _apply_crop_flip(batch_u8, ys, xs, flips, pad)
+
+
+class DataLoader:
+    """Epoch iterator over in-memory arrays -> {'image','label'} batches."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        shuffle: bool = False,
+        train_augment: bool = False,
+        random_crop: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.images, self.labels = images, labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.train_augment = train_augment
+        self.random_crop = random_crop
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.pad = int((4 / 32) * images.shape[1])
+
+    def __len__(self):
+        n = len(self.images) // self.batch_size
+        if not self.drop_last and len(self.images) % self.batch_size:
+            n += 1
+        return n
+
+    @property
+    def num_examples(self):
+        return len(self.images)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        idx = np.arange(len(self.images))
+        if self.shuffle:
+            rng.shuffle(idx)
+        end = (
+            len(idx) - len(idx) % self.batch_size if self.drop_last else len(idx)
+        )
+        for i in range(0, end, self.batch_size):
+            sel = idx[i:i + self.batch_size]
+            x = self.images[sel]
+            if self.train_augment:
+                x = augment_normalize(x, rng, self.pad, self.random_crop)
+            else:
+                x = normalize(x)
+            yield {"image": x, "label": self.labels[sel]}
+
+
+class CyclingIterator:
+    """Endless batch stream for the trigger set (trainer.py:115-126)."""
+
+    def __init__(self, loader: DataLoader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def next(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)
+
+
+# ---------------------------------------------------------------------------
+# preparation entry points (reference API)
+# ---------------------------------------------------------------------------
+
+def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
+    """(train_loader, test_loader) per the reference's prepare_dataset."""
+    is_tl = args.get("transfer_learning", False)
+    ds = args["tl_dataset"] if is_tl else args["dataset"]
+    bs = args["batch_size"]
+    root = args.get("data_root", "data")
+
+    if ds == "synthetic":
+        tx, ty, vx, vy = synthetic_dataset(
+            num_train=args.get("synthetic_train", 2048),
+            num_test=args.get("synthetic_test", 512),
+        )
+    elif ds in ("cifar10", "cifar100"):
+        tx, ty, vx, vy = load_cifar(os.path.join(root, ds), ds)
+    elif ds in ("caltech-101", "caltech-256"):
+        nc = 101 if ds == "caltech-101" else 256
+        tx, ty, vx, vy = load_caltech(os.path.join(root, ds), nc)
+    elif ds == "imagenet1000":
+        tx, ty, _ = load_image_folder(os.path.join(root, "ILSVRC2012", "train"))
+        vx, vy, _ = load_image_folder(os.path.join(root, "ILSVRC2012", "val"))
+    else:
+        raise ValueError(f"unknown dataset {ds}")
+
+    train_loader = DataLoader(
+        tx, ty, bs, shuffle=True, train_augment=True,
+        random_crop=not is_tl, drop_last=True, seed=args.get("seed", 0),
+    )
+    test_loader = DataLoader(vx, vy, bs * 2)
+    return train_loader, test_loader
+
+
+def prepare_wm(datapath: str = "data/trigger_set/pics", crop: int = 32,
+               shuffle: bool = True, seed: int = 0) -> DataLoader:
+    """Trigger-set loader: WatermarkNN layout, batch 2, drop_last."""
+    from PIL import Image
+
+    labelpath = os.path.join(os.path.dirname(datapath), "labels-cifar.txt")
+    if not os.path.exists(labelpath):
+        raise FileNotFoundError(
+            "Trigger set not found. Download it from the WatermarkNN repository "
+            f"and place it under {os.path.dirname(datapath)} "
+            "(pics/ + labels-cifar.txt)."
+        )
+    labels = np.loadtxt(labelpath).astype(np.int32)
+
+    # labels-cifar.txt line i belongs to trigger image i. WatermarkNN ships
+    # non-zero-padded names (1.jpg, 2.jpg, ...), where a lexicographic sort
+    # would silently pair image 10 with label line 2 — sort numerically when
+    # the stems are numbers.
+    def order(fn):
+        stem = os.path.splitext(fn)[0]
+        return (0, int(stem), fn) if stem.isdigit() else (1, 0, fn)
+
+    files = sorted(os.listdir(datapath), key=order)
+    if len(files) > len(labels):
+        raise ValueError(
+            f"trigger set mismatch: {len(files)} images in {datapath} but "
+            f"only {len(labels)} labels in {labelpath}"
+        )
+    xs = []
+    for fn in files:
+        img = Image.open(os.path.join(datapath, fn)).convert("RGB")
+        w, h = img.size
+        left, top = (w - crop) // 2, (h - crop) // 2
+        img = img.crop((left, top, left + crop, top + crop))
+        xs.append(np.asarray(img, np.uint8))
+    return DataLoader(
+        np.stack(xs), labels[: len(xs)], batch_size=2, shuffle=shuffle,
+        drop_last=True, seed=seed,
+    )

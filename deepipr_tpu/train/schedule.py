@@ -19,7 +19,13 @@ def multistep_lr(
     steps_per_epoch: int,
 ):
     """MultiStepLR: lr *= gamma at each epoch boundary; constant if no steps."""
-    steps = lr_config.get(lr_config.get("type", "steps"), lr_config.get("steps", []))
+    sched_type = lr_config.get("type", "steps")
+    if sched_type != "steps":
+        raise ValueError(
+            f"unsupported lr schedule type {sched_type!r}: the reference "
+            "lr_configs only define type='steps' (MultiStepLR)"
+        )
+    steps = lr_config.get("steps", [])
     if not steps:
         return base_lr
     boundaries = {int(e) * steps_per_epoch: lr_config["gamma"] for e in steps}

@@ -42,6 +42,43 @@ class TestTriggerSet:
         with pytest.raises(FileNotFoundError, match="WatermarkNN"):
             prepare_wm("/nonexistent/pics")
 
+    def test_numeric_filename_order_pairs_labels(self, tmp_path):
+        """WatermarkNN ships 1.jpg..N.jpg (not zero-padded): lexicographic
+        order would pair image 10 with label line 2. Pixel value encodes the
+        image index; every image must get label == index."""
+        from PIL import Image
+
+        root = tmp_path / "trigger_set"
+        pics = root / "pics"
+        pics.mkdir(parents=True)
+        n = 12
+        for i in range(1, n + 1):
+            arr = np.full((32, 32, 3), i, np.uint8)
+            Image.fromarray(arr).save(pics / f"{i}.png")
+        (root / "labels-cifar.txt").write_text(
+            "\n".join(str(i) for i in range(1, n + 1)) + "\n")
+
+        dl = prepare_wm(str(pics), crop=32, shuffle=False)
+        for batch in dl:
+            # images are normalized; recover the index from the raw mean
+            raw = batch["image"] * np.asarray(IMAGENET_STD) + np.asarray(
+                IMAGENET_MEAN)
+            idx = np.round(raw.mean(axis=(1, 2, 3)) * 255).astype(int)
+            np.testing.assert_array_equal(idx, batch["label"])
+
+    def test_more_images_than_labels_raises(self, tmp_path):
+        from PIL import Image
+
+        root = tmp_path / "trigger_set"
+        pics = root / "pics"
+        pics.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+                pics / f"{i}.png")
+        (root / "labels-cifar.txt").write_text("0\n1\n")
+        with pytest.raises(ValueError, match="mismatch"):
+            prepare_wm(str(pics), crop=32)
+
 
 class TestTransforms:
     def test_normalize_imagenet_stats(self):

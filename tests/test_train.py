@@ -97,6 +97,10 @@ class TestTrainSteps:
         const = multistep_lr(0.1, {"type": "steps", "steps": [], "gamma": 0.0}, 2)
         assert const == 0.1
 
+    def test_unknown_schedule_type_raises(self):
+        with pytest.raises(ValueError, match="cosine"):
+            multistep_lr(0.1, {"type": "cosine", "steps": [1], "gamma": 0.1}, 2)
+
 
 class TestKeySetup:
     def test_passports_replaced_with_activation_shuffles(self):
@@ -177,6 +181,10 @@ class TestDataLoader:
 
 
 class TestSharding:
+    def test_make_mesh_rejects_non_divisible(self):
+        with pytest.raises(ValueError, match="divisible"):
+            make_mesh(jax.devices()[:6], model_axis=4)
+
     def test_dp_train_step_on_8_device_mesh(self):
         """Full V2 train step over an 8-device mesh: batch sharded, state
         replicated, XLA inserts the gradient all-reduce."""
