@@ -16,12 +16,15 @@ def maybe_initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> bool:
     """Initialize jax.distributed when configured; no-op on single host.
 
     Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
-    arguments are not given (TPU pods usually auto-detect all three).
-    Returns True iff distributed mode was initialized.
+    arguments are not given. With auto=True (the CLIs' --multihost flag) and
+    no explicit configuration, calls jax.distributed.initialize() bare so TPU
+    pod runtimes auto-detect the topology. Returns True iff distributed mode
+    was initialized. Must run before first device use.
     """
     import jax
 
@@ -36,7 +39,10 @@ def maybe_initialize_distributed(
         process_id = int(env_pid)
 
     if coordinator_address is None and num_processes is None:
-        return False
+        if not auto:
+            return False
+        jax.distributed.initialize()  # TPU pod auto-detection
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--logdir", default="logs")
 
     # misc
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="initialize jax.distributed before device use "
+                        "(TPU pod auto-detect, or JAX_COORDINATOR_ADDRESS/"
+                        "JAX_NUM_PROCESSES/JAX_PROCESS_ID)")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bf16 compute on the MXU (f32 epilogues/derivation)")
     p.add_argument("--profile", action="store_true", default=False,
@@ -69,9 +73,24 @@ def build_parser():
     return p
 
 
+def maybe_init_multihost(args):
+    """--multihost: bring up jax.distributed before any device use."""
+    if not args.get("multihost"):
+        return
+    import jax
+
+    from deepipr_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(auto=True)
+    print(f"multihost: process {jax.process_index()} of {jax.process_count()},"
+          f" {jax.local_device_count()} local / {jax.device_count()} global "
+          "devices")
+
+
 def main():
     args = vars(build_parser().parse_args())
     pprint(args)
+    maybe_init_multihost(args)
 
     from deepipr_tpu.train.experiment import ClassificationExperiment
 

@@ -7,7 +7,7 @@ Same flags as train_v1.py but --train-private defaults to True
 
 from pprint import pprint
 
-from train_v1 import build_parser
+from train_v1 import build_parser, maybe_init_multihost
 
 
 def main():
@@ -15,6 +15,7 @@ def main():
     p.set_defaults(train_private=True)
     args = vars(p.parse_args())
     pprint(args)
+    maybe_init_multihost(args)
 
     from deepipr_tpu.train.experiment import ClassificationExperiment
 
