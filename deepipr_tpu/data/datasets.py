@@ -152,6 +152,169 @@ def load_caltech(root: str, num_classes: int, size: int = 32, seed: int = 7):
     return x[train_idx], y[train_idx], x[test_idx], y[test_idx]
 
 
+def _short_side_resize(img, target: int):
+    """PIL resize so the short side equals target (aspect preserved)."""
+    w, h = img.size
+    if min(w, h) == target:
+        return img
+    scale = target / min(w, h)
+    return img.resize((max(target, round(w * scale)),
+                       max(target, round(h * scale))))
+
+
+def _random_resized_crop_params(rng, h: int, w: int):
+    """torchvision RandomResizedCrop sampling: area scale U(0.08,1), aspect
+    ratio exp(U(log 3/4, log 4/3)), 10 attempts then center-crop fallback
+    (the reference's ImageNet train transform, dataset.py:204-210)."""
+    area = h * w
+    for _ in range(10):
+        target_area = area * rng.uniform(0.08, 1.0)
+        ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+        cw = int(round(np.sqrt(target_area * ratio)))
+        ch = int(round(np.sqrt(target_area / ratio)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            return top, left, ch, cw
+    in_ratio = w / h
+    if in_ratio < 3 / 4:
+        cw, ch = w, min(h, int(round(w / (3 / 4))))
+    elif in_ratio > 4 / 3:
+        ch, cw = h, min(w, int(round(h * (4 / 3))))
+    else:
+        ch, cw = h, w
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+
+class StreamingImageFolder:
+    """Lazy ImageFolder loader: O(batch) memory, thread-pool decode.
+
+    The reference streams ImageNet through DataLoader workers and pickles the
+    dataset object as a cache (dataset.py:196-243); an eager load would need
+    ~190 GB of host RAM for ImageNet train. This loader indexes
+    root/<class>/<img> paths up front and decodes per batch:
+
+    - decode: short-side resize to int(size*resize_ratio) (256 for 224)
+    - train: RandomResizedCrop(size) + horizontal flip (dataset.py:204-210)
+    - eval:  center crop to size (Resize(256)+CenterCrop(224), :213-218)
+    - cache_dir: optional resized-uint8 .npy cache, so epochs after the first
+      skip JPEG decode entirely (analog of the reference's cache.pth)
+
+    Deviation from torchvision: the train crop is sampled on the pre-resized
+    image rather than the original, which bounds decode cost and makes the
+    cache reusable; crop statistics are equivalent up to that rescale.
+
+    Yields the same {'image','label'} float32 NHWC batches as DataLoader.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        batch_size: int,
+        size: int = 224,
+        train: bool = False,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        workers: int = 16,
+        resize_ratio: float = 256 / 224,
+        cache_dir: str = None,
+    ):
+        self.root = root
+        self.batch_size = batch_size
+        self.size = size
+        self.train = train
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.workers = workers
+        self.decode_size = int(round(size * resize_ratio))
+        self.cache_dir = cache_dir
+        self.epoch = 0
+
+        self.classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        if not self.classes:
+            raise FileNotFoundError(f"no class directories under {root}")
+        self.samples = []  # (relative path, label)
+        for ci, cls in enumerate(self.classes):
+            cdir = os.path.join(root, cls)
+            for fn in sorted(os.listdir(cdir)):
+                self.samples.append((os.path.join(cls, fn), ci))
+        self.labels = np.asarray([lab for _, lab in self.samples], np.int32)
+
+    def __len__(self):
+        n = len(self.samples) // self.batch_size
+        if not self.drop_last and len(self.samples) % self.batch_size:
+            n += 1
+        return n
+
+    @property
+    def num_examples(self):
+        return len(self.samples)
+
+    def _decode_resized(self, rel: str) -> np.ndarray:
+        """uint8 (H,W,3) with short side == decode_size; cached when enabled."""
+        from PIL import Image
+
+        if self.cache_dir is not None:
+            cpath = os.path.join(self.cache_dir, rel + ".npy")
+            if os.path.exists(cpath):
+                return np.load(cpath)
+        img = Image.open(os.path.join(self.root, rel)).convert("RGB")
+        arr = np.asarray(_short_side_resize(img, self.decode_size), np.uint8)
+        if self.cache_dir is not None:
+            os.makedirs(os.path.dirname(cpath), exist_ok=True)
+            tmp = cpath + f".tmp{os.getpid()}.npy"  # atomic vs other workers
+            np.save(tmp, arr)
+            os.replace(tmp, cpath)
+        return arr
+
+    def _example(self, idx: int, epoch: int) -> np.ndarray:
+        """Decode + transform one example to (size, size, 3) uint8."""
+        from PIL import Image
+
+        rel, _ = self.samples[idx]
+        arr = self._decode_resized(rel)
+        h, w = arr.shape[:2]
+        if self.train:
+            rng = np.random.default_rng((self.seed, epoch, idx))
+            top, left, ch, cw = _random_resized_crop_params(rng, h, w)
+            crop = arr[top:top + ch, left:left + cw]
+            if (ch, cw) != (self.size, self.size):
+                crop = np.asarray(
+                    Image.fromarray(crop).resize((self.size, self.size)),
+                    np.uint8,
+                )
+            if rng.random() < 0.5:
+                crop = crop[:, ::-1]
+            return crop
+        top, left = (h - self.size) // 2, (w - self.size) // 2
+        return arr[top:top + self.size, left:left + self.size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        epoch = self.epoch
+        self.epoch += 1
+        rng = np.random.default_rng((self.seed, epoch))
+        idx = np.arange(len(self.samples))
+        if self.shuffle:
+            rng.shuffle(idx)
+        end = (
+            len(idx) - len(idx) % self.batch_size if self.drop_last else len(idx)
+        )
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for i in range(0, end, self.batch_size):
+                sel = idx[i:i + self.batch_size]
+                imgs = list(pool.map(lambda j: self._example(j, epoch), sel))
+                yield {
+                    "image": normalize(np.stack(imgs)),
+                    "label": self.labels[sel],
+                }
+
+
 # ---------------------------------------------------------------------------
 # transforms + loader
 # ---------------------------------------------------------------------------
@@ -314,8 +477,20 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
         nc = 101 if ds == "caltech-101" else 256
         tx, ty, vx, vy = load_caltech(os.path.join(root, ds), nc)
     elif ds == "imagenet1000":
-        tx, ty, _ = load_image_folder(os.path.join(root, "ILSVRC2012", "train"))
-        vx, vy, _ = load_image_folder(os.path.join(root, "ILSVRC2012", "val"))
+        # streamed, not loaded: ImageNet train is ~190 GB decoded
+        base = os.path.join(root, "ILSVRC2012")
+        cache = args.get("imagenet_cache")
+        workers = args.get("workers", 16)
+        train_loader = StreamingImageFolder(
+            os.path.join(base, "train"), bs, train=not is_tl, shuffle=True,
+            drop_last=True, seed=args.get("seed", 0), workers=workers,
+            cache_dir=cache,
+        )
+        test_loader = StreamingImageFolder(
+            os.path.join(base, "val"), bs * 2, train=False, workers=workers,
+            cache_dir=cache,
+        )
+        return train_loader, test_loader
     else:
         raise ValueError(f"unknown dataset {ds}")
 

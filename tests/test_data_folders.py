@@ -4,9 +4,15 @@ import os
 
 import numpy as np
 import pytest
+import PIL.Image
 from PIL import Image
 
-from deepipr_tpu.data.datasets import load_caltech, load_image_folder
+from deepipr_tpu.data.datasets import (
+    StreamingImageFolder,
+    load_caltech,
+    load_image_folder,
+    prepare_dataset,
+)
 
 
 @pytest.fixture(scope="module")
@@ -33,6 +39,78 @@ class TestImageFolder:
     def test_center_crop_path(self, image_root):
         x, _, _ = load_image_folder(image_root, size=32, center_crop=True)
         assert x.shape == (30, 32, 32, 3)
+
+
+@pytest.fixture
+def decode_counter(monkeypatch):
+    """Counts PIL file decodes (the expensive op the streaming loader bounds)."""
+    calls = {"n": 0}
+    orig = PIL.Image.open
+
+    def counting_open(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(PIL.Image, "open", counting_open)
+    return calls
+
+
+class TestStreamingImageFolder:
+    def test_construction_decodes_nothing(self, image_root, decode_counter):
+        dl = StreamingImageFolder(image_root, batch_size=4, size=32,
+                                  resize_ratio=1.0)
+        assert decode_counter["n"] == 0
+        assert dl.num_examples == 30
+        assert dl.classes == ["aardvark", "bobcat", "cheetah"]
+
+    def test_batches_decode_O_batch(self, image_root, decode_counter):
+        dl = StreamingImageFolder(image_root, batch_size=4, size=32,
+                                  resize_ratio=1.0, workers=2)
+        it = iter(dl)
+        b = next(it)
+        assert decode_counter["n"] == 4  # exactly one decode per example
+        assert b["image"].shape == (4, 32, 32, 3)
+        assert b["image"].dtype == np.float32
+        total = b["label"].shape[0] + sum(x["label"].shape[0] for x in it)
+        assert total == 30
+
+    def test_train_mode_shapes_and_determinism(self, image_root):
+        a = StreamingImageFolder(image_root, batch_size=8, size=32, train=True,
+                                 shuffle=True, drop_last=True, seed=3,
+                                 resize_ratio=1.0, workers=2)
+        b = StreamingImageFolder(image_root, batch_size=8, size=32, train=True,
+                                 shuffle=True, drop_last=True, seed=3,
+                                 resize_ratio=1.0, workers=2)
+        for ba, bb in zip(a, b):
+            assert ba["image"].shape == (8, 32, 32, 3)
+            np.testing.assert_array_equal(ba["image"], bb["image"])
+            np.testing.assert_array_equal(ba["label"], bb["label"])
+
+    def test_resized_uint8_cache_skips_decode(self, image_root, tmp_path,
+                                              decode_counter):
+        cache = str(tmp_path / "cache")
+        dl = StreamingImageFolder(image_root, batch_size=8, size=32,
+                                  resize_ratio=1.0, cache_dir=cache, workers=2)
+        first = [b["image"].copy() for b in dl]
+        assert decode_counter["n"] == 30
+        second = [b["image"] for b in dl]
+        assert decode_counter["n"] == 30  # epoch 2 served from the cache
+        for x, y in zip(first, second):
+            np.testing.assert_array_equal(x, y)
+
+    def test_prepare_dataset_imagenet_streams(self, image_root, tmp_path):
+        base = tmp_path / "ILSVRC2012"
+        base.mkdir()
+        for split in ("train", "val"):
+            (base / split).symlink_to(image_root)
+        args = {"dataset": "imagenet1000", "batch_size": 4,
+                "data_root": str(tmp_path), "tl_dataset": "synthetic"}
+        train, test = prepare_dataset(args)
+        assert isinstance(train, StreamingImageFolder)
+        assert isinstance(test, StreamingImageFolder)
+        assert train.train and train.shuffle and train.drop_last
+        b = next(iter(test))
+        assert b["image"].shape[1:] == (224, 224, 3)
 
 
 class TestCaltech:
