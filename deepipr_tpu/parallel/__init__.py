@@ -2,10 +2,22 @@
 
 from deepipr_tpu.parallel.mesh import (
     batch_sharding,
+    count_model_sharded,
     make_mesh,
+    model_parallel_spec,
     replicate,
     replicated,
     shard_batch,
+    shard_model_parallel,
 )
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "replicated", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "count_model_sharded",
+    "make_mesh",
+    "model_parallel_spec",
+    "replicate",
+    "replicated",
+    "shard_batch",
+    "shard_model_parallel",
+]

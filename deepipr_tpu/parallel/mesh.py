@@ -56,3 +56,74 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (e.g. TrainState) across the mesh."""
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+# --------------------------------------------------------------------------
+# tensor parallelism over the 'model' axis
+# --------------------------------------------------------------------------
+
+def model_parallel_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for one parameter under model parallelism.
+
+    The deepest (widest) layers carry most of the weight volume, so they are
+    the ones worth sharding over 'model' (megatron-style column/row split;
+    XLA GSPMD inserts the all-gather/reduce-scatter pairs over ICI):
+
+    - layer4 convbnrelu_1 conv kernels (HWIO): output channels sharded
+    - layer4 convbn_2 / shortcut conv kernels: input channels sharded
+      (consumes the channel-sharded activation, psum after)
+    - final Dense ('linear'/'classifier*') kernels (in, out): output sharded
+    - everything else (BN vectors, passports, signatures, small convs):
+      replicated
+    """
+    if ndim == 4 and "layer4_" in path and path.endswith("/conv/kernel"):
+        if "/convbnrelu_1/" in path:
+            return P(None, None, None, "model")
+        return P(None, None, "model", None)  # convbn_2, shortcut
+    last = path.rsplit("/", 2)
+    if (
+        ndim == 2
+        and path.endswith("/kernel")
+        and len(last) >= 2
+        and last[-2].startswith(("linear", "classifier"))
+    ):
+        return P(None, "model")
+    return P()
+
+
+def _leaf_path(key_path) -> str:
+    parts = []
+    for k in key_path:
+        name = getattr(k, "key", None)
+        if name is None:
+            name = getattr(k, "name", str(k))
+        parts.append(str(name))
+    return "/".join(parts)
+
+
+def shard_model_parallel(tree, mesh: Mesh):
+    """Place a pytree (TrainState) with model-parallel parameter shardings.
+
+    Applies model_parallel_spec by trailing path to every array leaf — the
+    optimizer's momentum buffers mirror the parameter tree, so they pick up
+    the same specs and stay colocated with their parameters.
+    """
+
+    def put(key_path, x):
+        spec = model_parallel_spec(_leaf_path(key_path), getattr(x, "ndim", 0))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def count_model_sharded(tree) -> int:
+    """Number of array leaves actually sharded over the 'model' axis."""
+    n = 0
+    for leaf in jax.tree.leaves(tree):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding) and any(
+            "model" in (axes if isinstance(axes, tuple) else (axes,))
+            for axes in s.spec if axes is not None
+        ):
+            n += 1
+    return n

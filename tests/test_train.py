@@ -7,7 +7,13 @@ import pytest
 
 from deepipr_tpu.data import DataLoader, synthetic_dataset
 from deepipr_tpu.models import AlexNet, build_model
-from deepipr_tpu.parallel import make_mesh, replicate, shard_batch
+from deepipr_tpu.parallel import (
+    count_model_sharded,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_model_parallel,
+)
 from deepipr_tpu.train import (
     TrainState,
     collect_taps,
@@ -199,6 +205,45 @@ class TestSharding:
         state, m = step(state, batch)
         state, m = step(state, batch)
         assert np.isfinite(float(m["loss"]))
+
+    def test_model_axis_tensor_parallel_matches_replicated(self):
+        """layer4 conv kernels + final Dense sharded over 'model' on a 4x2
+        mesh: params are REALLY sharded (not replicated) and the train step
+        produces the same loss as the fully replicated run."""
+        import json
+
+        from deepipr_tpu.models import ResNet18
+
+        assert jax.device_count() >= 8
+        cfg = json.load(open("passport_configs/resnet18_passport.json"))
+        kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        model = ResNet18(num_classes=10, passport_kwargs=kw, private=True)
+        batch = toy_batch(n=8)
+        base = make_state(model, batch["image"])
+        base = jax.tree.map(np.asarray, base)  # host snapshot to fork from
+        step = make_train_step(model, private=True)
+
+        mesh = make_mesh(model_axis=2)  # 4 batch x 2 model
+        sb = shard_batch(batch, mesh)
+
+        st_rep = replicate(jax.tree.map(jnp.asarray, base), mesh)
+        st_rep, m_rep = step(st_rep, sb)
+
+        st_tp = shard_model_parallel(jax.tree.map(jnp.asarray, base), mesh)
+        n_sharded = count_model_sharded(st_tp.params)
+        assert n_sharded >= 5, n_sharded  # layer4 kernels + linear
+        st_tp, m_tp = step(st_tp, shard_batch(batch, mesh))
+
+        assert float(m_rep["loss"]) == pytest.approx(float(m_tp["loss"]),
+                                                     rel=1e-6)
+        # updated params keep their model sharding across the step
+        assert count_model_sharded(st_tp.params) >= n_sharded
+        # and the numbers agree with the replicated run
+        a = jax.device_get(st_tp.params)
+        b = jax.device_get(st_rep.params)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5,
+                                                    atol=1e-6), a, b)
 
 
 class TestMeters:
