@@ -116,15 +116,29 @@ class AlexNet(nn.Module):
         force_passport: bool = False,
         ind: int = 0,
         train: bool = False,
+        start_at: str = None,
+        tap_at: str = None,
     ):
+        """start_at: run only from the named features block onward (x is that
+        block's input — used by the split dual-forward train step).
+        tap_at: sow the named block's input into 'branch_tap'."""
         is_imagenet = self.imagenet or self.num_classes == 1000
         convs = _IMAGENET_CONVS if is_imagenet else _CIFAR_CONVS
         pool_k = 3 if is_imagenet else 2
+        started = start_at is None
 
         for idx, feats, k, s, p in convs:
+            name = f"features_{idx}"
+            if not started:
+                if name == start_at:
+                    started = True
+                else:
+                    continue
+            if tap_at == name and not self.is_initializing():
+                self.sow("branch_tap", "x", x)
             lk = None if self.passport_kwargs is None else self.passport_kwargs[idx]
             block = _make_feature_block(
-                lk, self.norm_type, feats, k, s, p, f"features_{idx}",
+                lk, self.norm_type, feats, k, s, p, name,
                 self.private, self.dtype,
             )
             x = _call_block(block, x, force_passport, ind, train)

@@ -163,20 +163,34 @@ class ResNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, force_passport=False, ind=0, train=False):
+    def __call__(self, x, force_passport=False, ind=0, train=False,
+                 start_at=None, tap_at=None):
+        """start_at: run only from the named unit onward (x is that unit's
+        input — used by the split dual-forward train step, train/steps.py).
+        tap_at: sow the named unit's input into 'branch_tap'."""
         is_imagenet = self.imagenet or self.num_classes == 1000
         pk = self.passport_kwargs
+        started = start_at is None
 
-        stem_kwargs = None if pk is None else pk["convbnrelu_1"]
-        if is_imagenet:
-            stem = _make_block(stem_kwargs, self.norm_type, 64, 7, 2, 3,
-                               "convbnrelu_1", self.private, True, self.dtype)
-            x = _call_block(stem, x, force_passport, ind, train)
-            x = max_pool2d(x, 3, 2, padding=1)
-        else:
-            stem = _make_block(stem_kwargs, self.norm_type, 64, 3, 1, 1,
-                               "convbnrelu_1", self.private, True, self.dtype)
-            x = _call_block(stem, x, force_passport, ind, train)
+        def begin(name):
+            nonlocal started
+            if not started and name == start_at:
+                started = True
+            if started and tap_at == name and not self.is_initializing():
+                self.sow("branch_tap", "x", x)
+            return started
+
+        if begin("convbnrelu_1"):
+            stem_kwargs = None if pk is None else pk["convbnrelu_1"]
+            if is_imagenet:
+                stem = _make_block(stem_kwargs, self.norm_type, 64, 7, 2, 3,
+                                   "convbnrelu_1", self.private, True, self.dtype)
+                x = _call_block(stem, x, force_passport, ind, train)
+                x = max_pool2d(x, 3, 2, padding=1)
+            else:
+                stem = _make_block(stem_kwargs, self.norm_type, 64, 3, 1, 1,
+                                   "convbnrelu_1", self.private, True, self.dtype)
+                x = _call_block(stem, x, force_passport, ind, train)
 
         in_planes = 64
         for li, (planes, n, stride) in enumerate(
@@ -185,15 +199,18 @@ class ResNet(nn.Module):
             layer_pk = None if pk is None else pk[f"layer{li}"]
             strides = [stride] + [1] * (n - 1)
             for bi, s in enumerate(strides):
+                in_planes_here = in_planes
+                in_planes = planes * self.block_cls.expansion
+                if not begin(f"layer{li}_{bi}"):
+                    continue
                 block_pk = None if layer_pk is None else layer_pk[str(bi)]
                 blk = self.block_cls(
-                    in_planes=in_planes, planes=planes, stride=s,
+                    in_planes=in_planes_here, planes=planes, stride=s,
                     norm_type=self.norm_type, passport_kwargs=block_pk,
                     private=self.private, dtype=self.dtype,
                     name=f"layer{li}_{bi}",
                 )
                 x = blk(x, force_passport=force_passport, ind=ind, train=train)
-                in_planes = planes * self.block_cls.expansion
 
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, name="linear")(x)

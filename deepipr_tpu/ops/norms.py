@@ -19,6 +19,11 @@ from typing import Optional
 
 import flax.linen as nn
 
+# flax convention: running = BN_MOMENTUM*running + (1-BN_MOMENTUM)*batch
+# (== torch momentum 0.1); the split dual-forward step re-applies this EMA
+# for prefix units (train/steps.py).
+BN_MOMENTUM = 0.9
+
 
 class StatsBatchNorm(nn.BatchNorm):
     """nn.BatchNorm plus an accessor for the running statistics.
@@ -57,7 +62,7 @@ def make_norm(
     if norm_type == "bn":
         use_affine = True if affine is None else affine
         return StatsBatchNorm(
-            momentum=0.9,
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             use_scale=use_affine,
             use_bias=use_affine,

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from deepipr_tpu.ops.norms import BN_MOMENTUM
 from deepipr_tpu.passport.codec import bit_accuracy
 from deepipr_tpu.passport.sign_loss import total_sign_loss
 from deepipr_tpu.train.state import TrainState
@@ -77,13 +78,30 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
     return out
 
 
-def make_train_step(model, private: bool):
+def make_train_step(model, private: bool, split_branches: bool = True):
     """Build the jitted SGD train step for this model/scheme.
 
     Returns step(state, batch) -> (new_state, metrics); batch is a dict with
     'image' (N,H,W,C) and 'label' (N,). For V3 the trigger batch is already
     concatenated by the data layer.
+
+    split_branches (private models): the public/private forwards are
+    identical up to the first passport block, so the shared prefix is
+    computed ONCE and the private branch forks from a sown tap
+    (models/branching.py). The reference's two full forwards
+    (trainer_private.py:159-166) update prefix BN running stats twice with
+    the same batch statistics; the split step reproduces that exactly by
+    re-applying the EMA step for prefix units:
+        r1 = m*r0 + (1-m)*s  (prefix ran once)
+        r2 = m*r1 + (1-m)*s = r1 + m*(r1 - r0)
+    Gradients are unchanged: CE0(f(x)) + CE1(g(f(x))) differentiates the
+    prefix f once through both terms either way.
     """
+    fork = None
+    if private and split_branches:
+        from deepipr_tpu.models.branching import branch_point
+
+        fork = branch_point(model)
 
     def step(state: TrainState, batch):
         x, y = batch["image"], batch["label"]
@@ -95,7 +113,38 @@ def make_train_step(model, private: bool):
         def loss_fn(params):
             variables = {**state.model_variables(), "params": params}
 
-            if private:
+            if private and fork is not None:
+                fork_name, prefix_units = fork
+                logits0, upd0 = model.apply(
+                    variables, x, ind=0, train=True, rngs=rngs,
+                    mutable=["batch_stats", "passport_aux", "branch_tap"],
+                    tap_at=fork_name,
+                )
+                tap = jax.tree.leaves(upd0["branch_tap"])[0]
+                if "batch_stats" in upd0:
+                    variables = {**variables, "batch_stats": upd0["batch_stats"]}
+                logits1, upd1 = model.apply(
+                    variables, tap, ind=1, train=True, rngs=rngs,
+                    mutable=["batch_stats", "passport_aux"],
+                    start_at=fork_name,
+                )
+                ce = cross_entropy_mean(logits0, y, w) + cross_entropy_mean(
+                    logits1, y, w)
+                sl, sacc = total_sign_loss(collect_aux(upd1))
+                new_stats = upd1.get("batch_stats", state.batch_stats)
+                if new_stats:
+                    new_stats = dict(new_stats)
+                    for unit in prefix_units:
+                        if unit in new_stats:
+                            new_stats[unit] = jax.tree.map(
+                                lambda r1, r0: r1 + BN_MOMENTUM * (r1 - r0),
+                                new_stats[unit], state.batch_stats[unit],
+                            )
+                metrics = {
+                    "acc_public": top1_accuracy(logits0, y, w),
+                    "acc_private": top1_accuracy(logits1, y, w),
+                }
+            elif private:
                 logits0, upd0 = model.apply(
                     variables, x, ind=0, train=True, rngs=rngs,
                     mutable=["batch_stats", "passport_aux"],

@@ -186,6 +186,75 @@ class TestDataLoader:
         assert 0.0 <= out["acc"] <= 100.0 and out["loss"] > 0
 
 
+class TestSplitDualForward:
+    """The prefix-sharing V2 step must be indistinguishable from the naive
+    two-full-forwards step (reference trainer_private.py:159-166), including
+    the double BN running-stat EMA on prefix units."""
+
+    def _models(self, arch):
+        if arch == "alexnet":
+            return tiny_passport_model(private=True), toy_batch(n=8)
+        import json
+
+        from deepipr_tpu.models import ResNet18
+
+        cfg = json.load(open("passport_configs/resnet18_passport.json"))
+        kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        return (ResNet18(num_classes=10, passport_kwargs=kw, private=True),
+                toy_batch(n=8))
+
+    @pytest.mark.parametrize("arch", ["alexnet", "resnet18"])
+    def test_split_matches_naive(self, arch):
+        from deepipr_tpu.models.branching import branch_point
+
+        model, batch = self._models(arch)
+        assert branch_point(model) is not None
+        host = jax.tree.map(np.asarray, make_state(model, batch["image"]))
+        s_naive = jax.tree.map(jnp.asarray, host)
+        s_split = jax.tree.map(jnp.asarray, host)
+        step_naive = make_train_step(model, private=True, split_branches=False)
+        step_split = make_train_step(model, private=True)
+
+        for _ in range(3):
+            s_naive, m_n = step_naive(s_naive, batch)
+            s_split, m_s = step_split(s_split, batch)
+
+        for k in m_n:
+            assert float(m_n[k]) == pytest.approx(float(m_s[k]), rel=1e-5,
+                                                  abs=1e-6), k
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            jax.device_get(s_naive.params), jax.device_get(s_split.params))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            jax.device_get(s_naive.batch_stats),
+            jax.device_get(s_split.batch_stats))
+
+    def test_branch_point_discovery(self):
+        import json
+
+        from deepipr_tpu.models import ResNet18, build_model
+        from deepipr_tpu.models.branching import branch_point
+
+        cfg = json.load(open("passport_configs/resnet18_passport.json"))
+        kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        name, prefix = branch_point(
+            ResNet18(num_classes=10, passport_kwargs=kw, private=True))
+        assert name == "layer4_0"
+        assert prefix == ["convbnrelu_1", "layer1_0", "layer1_1", "layer2_0",
+                          "layer2_1", "layer3_0", "layer3_1"]
+
+        name, prefix = branch_point(tiny_passport_model(private=True))
+        assert name == "features_4" and prefix == ["features_0", "features_2"]
+
+        # normal model / first-unit passport -> not splittable
+        assert branch_point(build_model("alexnet", 10)) is None
+        cfg_all = {"0": True, "2": True, "4": True, "5": True, "6": True}
+        kw, _ = construct_passport_kwargs(cfg_all, "bn", "shuffle", 0.1)
+        assert branch_point(
+            AlexNet(num_classes=10, passport_kwargs=kw, private=True)) is None
+
+
 class TestSharding:
     def test_make_mesh_rejects_non_divisible(self):
         with pytest.raises(ValueError, match="divisible"):
