@@ -22,12 +22,24 @@ from deepipr_tpu.train.state import TrainState
 
 
 class Predictor:
-    """Batched jitted inference on a trained model state."""
+    """Batched jitted inference on a trained model state.
+
+    folded=True (requires input_shape) collapses BN + affines into the conv
+    kernels first (interop/fold.py): faster, and the resulting variables
+    contain no passports/signatures/BN stats — the deployable artifact.
+    """
 
     def __init__(self, model, state: TrainState, ind: int = 0,
-                 force_passport: bool = False):
-        self.model = model
+                 force_passport: bool = False, folded: bool = False,
+                 input_shape=None):
         self.variables = state.model_variables()
+        if folded:
+            from deepipr_tpu.interop.fold import fold_for_inference
+
+            model, self.variables = fold_for_inference(
+                model, self.variables, input_shape, ind=ind)
+            ind, force_passport = 0, False  # folded model has one branch
+        self.model = model
 
         @jax.jit
         def _predict(variables, x):
