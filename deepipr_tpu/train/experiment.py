@@ -41,9 +41,11 @@ from deepipr_tpu.train.keys import sample_candidates, setup_passports
 from deepipr_tpu.train.schedule import multistep_lr, sgd_optimizer
 from deepipr_tpu.train.state import TrainState
 from deepipr_tpu.train.steps import (
+    make_dual_eval_step,
     make_eval_step,
     make_signature_fn,
     make_train_step,
+    run_dual_eval,
     run_eval,
 )
 from deepipr_tpu.utils.checkpoint import load_state, save_state
@@ -227,6 +229,7 @@ class ClassificationExperiment(Experiment):
         self.eval_steps = {0: make_eval_step(self.model, ind=0)}
         if self.private:
             self.eval_steps[1] = make_eval_step(self.model, ind=1)
+            self.dual_eval_step = make_dual_eval_step(self.model)
         self.signature_fn = None
         if self.scheme != 0:
             shape = (1, self.imgcrop, self.imgcrop, self.in_channels)
@@ -338,17 +341,12 @@ class ClassificationExperiment(Experiment):
 
     def _dual_eval(self, data, state=None) -> Dict:
         """Evaluate a loader through both branches for private schemes
-        (reference TesterPrivate.test, trainer_private.py:218-251); single
-        branch otherwise."""
+        (reference TesterPrivate.test, trainer_private.py:218-251) — one data
+        pass, shared prefix (steps.make_dual_eval_step); single branch
+        otherwise."""
         state = self.state if state is None else state
         if self.private:
-            pub = run_eval(self.eval_steps[0], state, data)
-            priv = run_eval(self.eval_steps[1], state, data)
-            return {
-                "loss_public": pub["loss"], "acc_public": pub["acc"],
-                "loss_private": priv["loss"], "acc_private": priv["acc"],
-                "total_acc": (pub["acc"] + priv["acc"]) / 2,
-            }
+            return run_dual_eval(self.dual_eval_step, state, data)
         return run_eval(self.eval_steps[0], state, data)
 
     def _valid_metrics(self) -> Dict:

@@ -186,6 +186,65 @@ def make_train_step(model, private: bool, split_branches: bool = True):
     return jax.jit(step, donate_argnums=0)
 
 
+def make_dual_eval_step(model, split_branches: bool = True):
+    """Both-branch eval in ONE data pass (reference TesterPrivate.test,
+    trainer_private.py:218-251, runs the loader twice).
+
+    Like the split train step, the shared prefix up to the first passport
+    block is computed once and the private branch forks from the sown tap —
+    at eval the branches are bit-identical up to that block (same params,
+    same BN running stats)."""
+    fork = None
+    if split_branches:
+        from deepipr_tpu.models.branching import branch_point
+
+        fork = branch_point(model)
+
+    def step(state: TrainState, batch):
+        x, y = batch["image"], batch["label"]
+        v = state.model_variables()
+        if fork is not None:
+            name, _ = fork
+            logits0, upd = model.apply(
+                v, x, ind=0, train=False, mutable=["branch_tap"], tap_at=name,
+            )
+            tap = jax.tree.leaves(upd["branch_tap"])[0]
+            logits1 = model.apply(v, tap, ind=1, train=False, start_at=name)
+        else:
+            logits0 = model.apply(v, x, ind=0, train=False)
+            logits1 = model.apply(v, x, ind=1, train=False)
+        out = {}
+        for tag, logits in (("public", logits0), ("private", logits1)):
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            out[f"ce_sum_{tag}"] = ce.sum()
+            out[f"correct_{tag}"] = jnp.sum(
+                (jnp.argmax(logits, axis=-1) == y).astype(jnp.int32))
+        return out
+
+    return jax.jit(step)
+
+
+def run_dual_eval(step, state, dataset):
+    """Drive a dual eval step -> the TesterPrivate metric dict."""
+    sums, count = None, 0
+    for batch in dataset:
+        out = step(state, batch)
+        sums = out if sums is None else jax.tree.map(
+            lambda a, b: a + b, sums, out)
+        count += batch["label"].shape[0]
+    if count == 0:
+        return {"loss_public": 0.0, "acc_public": 0.0,
+                "loss_private": 0.0, "acc_private": 0.0, "total_acc": 0.0}
+    res = {
+        "loss_public": float(sums["ce_sum_public"]) / count,
+        "acc_public": 100.0 * int(sums["correct_public"]) / count,
+        "loss_private": float(sums["ce_sum_private"]) / count,
+        "acc_private": 100.0 * int(sums["correct_private"]) / count,
+    }
+    res["total_acc"] = (res["acc_public"] + res["acc_private"]) / 2
+    return res
+
+
 def make_eval_step(model, ind: int = 0, force_passport: bool = False):
     """Sum-reduced CE + correct-count eval step (reference Tester.test)."""
 

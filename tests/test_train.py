@@ -230,6 +230,28 @@ class TestSplitDualForward:
             jax.device_get(s_naive.batch_stats),
             jax.device_get(s_split.batch_stats))
 
+    def test_dual_eval_matches_two_single_evals(self):
+        from deepipr_tpu.train.steps import (
+            make_dual_eval_step,
+            make_eval_step,
+            run_dual_eval,
+            run_eval,
+        )
+
+        model, batch = self._models("resnet18")
+        state = make_state(model, batch["image"])
+        loader = [batch, toy_batch(n=8, seed=1)]
+
+        dual = run_dual_eval(make_dual_eval_step(model), state, loader)
+        pub = run_eval(make_eval_step(model, ind=0), state, loader)
+        priv = run_eval(make_eval_step(model, ind=1), state, loader)
+        assert dual["acc_public"] == pub["acc"]
+        assert dual["acc_private"] == priv["acc"]
+        assert dual["loss_public"] == pytest.approx(pub["loss"], rel=1e-6)
+        assert dual["loss_private"] == pytest.approx(priv["loss"], rel=1e-6)
+        assert dual["total_acc"] == pytest.approx(
+            (pub["acc"] + priv["acc"]) / 2)
+
     def test_branch_point_discovery(self):
         import json
 
