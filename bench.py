@@ -53,7 +53,8 @@ def main(batch_size=256, steps=30, warmup=5):
         os.path.join(os.path.dirname(__file__), "passport_configs/resnet18_passport.json")
     )
     kwargs, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
-    # bf16 on the MXU with f32 epilogues/derivation — the production config
+    # bf16 on the MXU and normalize path; f32 statistics/derivation — the
+    # production config
     model = ResNet18Private(num_classes=10, passport_kwargs=kwargs,
                             dtype=jnp.bfloat16)
 

@@ -84,13 +84,17 @@ class ConvBlock(nn.Module):
             kernel_init=kaiming_normal_fan_out,
             dtype=self.dtype,
             name="conv",
-        )(x).astype(jnp.float32)
-        norm = make_norm(self.norm_type, self.features, name="bn")
+        )(x)
+        if self.dtype is None:
+            x = x.astype(jnp.float32)
+        # under bf16 the whole normalize/ReLU path stays bf16 (BN statistics
+        # are still f32 inside flax) — the train step is HBM-roofline-bound
+        # and these sweeps dominate its bytes
+        norm = make_norm(self.norm_type, self.features, name="bn",
+                         dtype=self.dtype)
         x = apply_norm(norm, x, train)
         if self.relu:
             x = nn.relu(x)
-        # store activations in the compute dtype: halves inter-layer HBM
-        # traffic under bf16 (the next conv consumes bf16 anyway)
         return x.astype(self.dtype) if self.dtype else x
 
 
@@ -154,11 +158,14 @@ class _PassportMixin:
         XLA lowering. Both produce identical scale/bias/output semantics.
         """
         y, key_out, skey_out = fused_conv_passport_outputs(x, key, skey, conv)
+        if self.dtype is None:
+            y = y.astype(jnp.float32)
         n, h, w, c = y.shape
         if (
             not train
             and not self.is_initializing()
             and isinstance(norm, StatsBatchNorm)
+            and y.dtype == jnp.float32  # the Pallas epilogue is f32-only
             and epilogue_should_run(n, h, w, c, bk=key_out.shape[0])
         ):
             mean, var = norm.running_stats(self.features)
@@ -168,10 +175,13 @@ class _PassportMixin:
             )
             scale, bias = scale[0], bias[0]
         else:
-            scale = gap_channel_mean(skey_out)
+            scale = gap_channel_mean(skey_out)  # always f32
             bias = gap_channel_mean(key_out)
             y = apply_norm(norm, y, train)
-            y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
+            y = (
+                scale.astype(y.dtype).reshape(1, 1, 1, -1) * y
+                + bias.astype(y.dtype).reshape(1, 1, 1, -1)
+            )
             if relu:
                 y = nn.relu(y)
         self._sow_aux(scale, bias, b.value)
@@ -206,14 +216,20 @@ class PassportBlock(nn.Module, _PassportMixin):
         conv = self._conv()
         b = self._signature_var()
         key, skey = self._passport_vars(x)
-        norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
+        norm = make_norm(self.norm_type, self.features, affine=False,
+                         name="bn", dtype=self.dtype)
 
         if self.learnable_affine and not force_passport:
-            y = conv(x).astype(jnp.float32)
+            y = conv(x)
+            if self.dtype is None:
+                y = y.astype(jnp.float32)
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = apply_norm(norm, y, train)
-            y = scale.reshape(1, 1, 1, -1) * y + bias.reshape(1, 1, 1, -1)
+            y = (
+                scale.astype(y.dtype).reshape(1, 1, 1, -1) * y
+                + bias.astype(y.dtype).reshape(1, 1, 1, -1)
+            )
             if self.relu:
                 y = nn.relu(y)
         else:
@@ -267,10 +283,11 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
         key, skey = self._passport_vars(x)
 
         private_branch = ind != 0 or force_passport
-        norm = make_norm(self.norm_type, self.features, affine=False, name="bn")
+        norm = make_norm(self.norm_type, self.features, affine=False,
+                         name="bn", dtype=self.dtype)
         if self.separate_stats and self.norm_type == "bn":
             norm_priv = make_norm(self.norm_type, self.features, affine=False,
-                                  name="bn_private")
+                                  name="bn_private", dtype=self.dtype)
             # both stat sets must exist regardless of which branch traces first
             if self.is_initializing():
                 z = conv(x).astype(jnp.float32)
@@ -280,11 +297,13 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
                 norm = norm_priv
 
         if not private_branch:
-            y = conv(x).astype(jnp.float32)
+            y = conv(x)
+            if self.dtype is None:
+                y = y.astype(jnp.float32)
             y = apply_norm(norm, y, train)
             y = (
-                pub_scale.reshape(1, 1, 1, -1) * y
-                + pub_bias.reshape(1, 1, 1, -1)
+                pub_scale.astype(y.dtype).reshape(1, 1, 1, -1) * y
+                + pub_bias.astype(y.dtype).reshape(1, 1, 1, -1)
             )
             y = nn.relu(y)
         else:

@@ -52,12 +52,16 @@ class StatsBatchNorm(nn.BatchNorm):
 
 
 def make_norm(
-    norm_type: str, features: int, affine: Optional[bool] = None, name: str = "bn"
+    norm_type: str, features: int, affine: Optional[bool] = None,
+    name: str = "bn", dtype=None,
 ):
     """Create the norm submodule for a block; None for norm_type='none'.
 
     ``affine=None`` picks the torch default per norm type: BN/GN affine,
-    InstanceNorm affine-free.
+    InstanceNorm affine-free. ``dtype`` is the normalize-path compute dtype
+    (statistics are always accumulated in f32 by flax): bf16 halves the HBM
+    bytes of the normalize/backward sweeps, which dominate the train step's
+    roofline (BASELINE.md round-2 analysis).
     """
     if norm_type == "bn":
         use_affine = True if affine is None else affine
@@ -66,6 +70,7 @@ def make_norm(
             epsilon=1e-5,
             use_scale=use_affine,
             use_bias=use_affine,
+            dtype=dtype,
             name=name,
         )
     if norm_type == "gn":
@@ -77,6 +82,7 @@ def make_norm(
             epsilon=1e-5,
             use_scale=use_affine,
             use_bias=use_affine,
+            dtype=dtype,
             name=name,
         )
     if norm_type == "in":
@@ -88,6 +94,7 @@ def make_norm(
             epsilon=1e-5,
             use_scale=use_affine,
             use_bias=use_affine,
+            dtype=dtype,
             name=name,
         )
     if norm_type == "none":

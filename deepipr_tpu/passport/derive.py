@@ -84,9 +84,15 @@ def fused_conv_passport_outputs(
     n = x.shape[0]
     bk = key.shape[0]
     stacked = jnp.concatenate([x, key.astype(x.dtype), skey.astype(x.dtype)], axis=0)
-    # upcast once: epilogue + scale derivation stay f32 under bf16 compute
-    out = conv_fn(stacked).astype(jnp.float32)
-    return out[:n], out[n : n + bk], out[n + bk :]
+    out = conv_fn(stacked)
+    # y stays in the compute dtype (the normalize path is dtype-aware and
+    # bf16 halves its HBM sweeps); scale/bias derivation is always f32 so
+    # signature signs stay robust under mixed precision.
+    return (
+        out[:n],
+        out[n : n + bk].astype(jnp.float32),
+        out[n + bk :].astype(jnp.float32),
+    )
 
 
 def fused_conv_with_passports(

@@ -47,6 +47,11 @@ def build_parser():
     p.add_argument("--trigger-path", default="data/trigger_set/pics")
     p.add_argument("--data-root", default="data")
     p.add_argument("--logdir", default="logs")
+    p.add_argument("--workers", type=int, default=16,
+                   help="decode threads for the streaming ImageNet loader")
+    p.add_argument("--imagenet-cache",
+                   help="directory for the resized-uint8 ImageNet decode "
+                        "cache (epochs after the first skip JPEG decode)")
 
     # misc
     p.add_argument("--multihost", action="store_true", default=False,
@@ -54,7 +59,8 @@ def build_parser():
                         "(TPU pod auto-detect, or JAX_COORDINATOR_ADDRESS/"
                         "JAX_NUM_PROCESSES/JAX_PROCESS_ID)")
     p.add_argument("--bf16", action="store_true", default=False,
-                   help="bf16 compute on the MXU (f32 epilogues/derivation)")
+                   help="bf16 on the MXU and normalize path (statistics and "
+                        "passport derivation stay f32)")
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
