@@ -16,7 +16,8 @@ import jax
 
 
 def save_state(path: str, state: Any) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     host_state = jax.device_get(state)
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(host_state))
