@@ -44,11 +44,37 @@ def main():
             "value": round(bs * steps / dt, 1),
         }))
 
+    # Folded deployment model (interop/fold.py): conv+bias only.
+    for ind in (0, 1):
+        pf = Predictor(model, state, ind=ind, folded=True,
+                       input_shape=(1, 32, 32, 3))
+        for bs in (1024,):
+            x = jax.random.normal(jax.random.key(1), (bs, 32, 32, 3))
+            y = pf.predict(x)
+            float(y[0])
+            t0 = time.time()
+            steps = 30
+            for _ in range(steps):
+                y = pf.predict(x)
+            float(y[0])
+            dt = time.time() - t0
+            print(json.dumps({
+                "metric": "inference images/sec/chip (ResNet-18, folded)",
+                "ind": ind,
+                "batch_size": bs,
+                "value": round(bs * steps / dt, 1),
+            }))
+
     # Private (verification) branch: A/B the fused Pallas epilogue dispatch.
+    # The epilogue is f32-only (bf16 activations bypass it), so this A/B runs
+    # the f32 model.
     from deepipr_tpu.ops.pallas_fused import set_epilogue_mode
+    model32 = ResNet18Private(num_classes=10, passport_kwargs=kw)
+    state32 = TrainState.create(model32.init(rngs, x0, train=True),
+                                sgd_optimizer(0.0))
     for mode in ("off", "auto"):
         set_epilogue_mode(mode)
-        pred_priv = Predictor(model, state, ind=1)
+        pred_priv = Predictor(model32, state32, ind=1)
         for bs in (256, 1024):
             x = jax.random.normal(jax.random.key(1), (bs, 32, 32, 3))
             y = pred_priv.predict(x)
