@@ -122,9 +122,14 @@ class AlexNet(nn.Module):
         """start_at: run only from the named features block onward (x is that
         block's input — used by the split dual-forward train step).
         tap_at: sow the named block's input into 'branch_tap'."""
-        is_imagenet = self.imagenet or self.num_classes == 1000
-        convs = _IMAGENET_CONVS if is_imagenet else _CIFAR_CONVS
-        pool_k = 3 if is_imagenet else 2
+        # Reference quirk (alexnet_passport_private.py:27,36,52): conv/pool
+        # SHAPES key on num_classes==1000 alone, while the avgpool+MLP head
+        # keys on (num_classes==1000 or imagenet) — so imagenet=True with
+        # another class count keeps CIFAR-shaped convs under the MLP head.
+        full_imagenet = self.num_classes == 1000
+        head_imagenet = self.imagenet or full_imagenet
+        convs = _IMAGENET_CONVS if full_imagenet else _CIFAR_CONVS
+        pool_k = 3 if full_imagenet else 2
         started = start_at is None
 
         for idx, feats, k, s, p in convs:
@@ -145,7 +150,7 @@ class AlexNet(nn.Module):
             if idx in _POOL_AFTER:
                 x = max_pool2d(x, pool_k, 2)
 
-        if is_imagenet:
+        if head_imagenet:
             x = adaptive_avg_pool2d(x, (6, 6))
             x = x.reshape(x.shape[0], -1)
             x = nn.Dropout(0.5, deterministic=not train)(x)

@@ -227,6 +227,44 @@ class TestAlexNetV1Parity:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+class TestAlexNetImageNetParity:
+    """ImageNet-shaped AlexNet: exercises the AdaptiveAvgPool(6,6) + 3-layer
+    classifier path and the classifier_1 (256*6*6 -> 4096) flatten-order
+    import (interop _FLATTENED_LINEAR_SHAPES second entry)."""
+
+    def test_eval_logits_match(self, ref):
+        _seed_everything(4)
+        ref_kwargs = {
+            "0": _ref_layer_kwargs(False),
+            "2": _ref_layer_kwargs(False),
+            "4": _ref_layer_kwargs(True),
+            "5": _ref_layer_kwargs(True),
+            "6": _ref_layer_kwargs(True),
+        }
+        tmodel = ref.alexnet_private(3, 1000, ref_kwargs)
+        pretrained = ref.alexnet_normal(3, 1000, "bn")
+        tmodel.set_intermediate_keys(
+            pretrained, torch.randn(4, 3, 224, 224), torch.randn(4, 3, 224, 224))
+        tmodel.eval()
+
+        cfg = {"0": False, "2": False, "4": True, "5": True, "6": True}
+        kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        jmodel = AlexNet(num_classes=1000, passport_kwargs=kw, private=True)
+        rngs = dict(RNGS, dropout=jax.random.key(9))
+        tmpl = jmodel.init(rngs, jnp.zeros((1, 224, 224, 3)), train=False)
+        variables = import_torch_checkpoint(tmodel.state_dict(), tmpl,
+                                            strict=True)
+
+        x = torch.randn(2, 3, 224, 224,
+                        generator=torch.Generator().manual_seed(11))
+        for ind in (0, 1):
+            with torch.no_grad():
+                want = tmodel(x, ind=ind).numpy()
+            got = np.asarray(jmodel.apply(variables, _nhwc(x), ind=ind,
+                                          train=False))
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)
+
+
 class TestResNet18PrivateParity:
     """Flagship ResNet-18 V2 with the shipped passport config."""
 
