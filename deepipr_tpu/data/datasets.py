@@ -400,11 +400,15 @@ class DataLoader:
         random_crop: bool = True,
         drop_last: bool = False,
         seed: int = 0,
+        raw: bool = False,
     ):
         self.images, self.labels = images, labels
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.train_augment = train_augment
+        # raw=True ships uint8 batches untouched — augmentation/normalization
+        # happen on-device (data/device_augment.py)
+        self.raw = raw
         self.random_crop = random_crop
         self.drop_last = drop_last
         self.seed = seed
@@ -433,7 +437,9 @@ class DataLoader:
         for i in range(0, end, self.batch_size):
             sel = idx[i:i + self.batch_size]
             x = self.images[sel]
-            if self.train_augment:
+            if self.raw:
+                pass
+            elif self.train_augment:
                 x = augment_normalize(x, rng, self.pad, self.random_crop)
             else:
                 x = normalize(x)
@@ -494,9 +500,11 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
     else:
         raise ValueError(f"unknown dataset {ds}")
 
+    raw = bool(args.get("device_augment"))
     train_loader = DataLoader(
-        tx, ty, bs, shuffle=True, train_augment=True,
+        tx, ty, bs, shuffle=True, train_augment=not raw,
         random_crop=not is_tl, drop_last=True, seed=args.get("seed", 0),
+        raw=raw,
     )
     test_loader = DataLoader(vx, vy, bs * 2)
     return train_loader, test_loader

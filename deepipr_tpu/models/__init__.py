@@ -19,6 +19,8 @@ from deepipr_tpu.models.resnet import (
     ResNet18Private,
     ResNet34,
     ResNet50,
+    ResNet50Passport,
+    ResNet50Private,
     ResNet101,
     ResNet152,
 )
@@ -44,6 +46,8 @@ __all__ = [
     "ResNet18Private",
     "ResNet34",
     "ResNet50",
+    "ResNet50Passport",
+    "ResNet50Private",
     "ResNet101",
     "ResNet152",
 ]

@@ -247,7 +247,10 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
     ind=1 (private/verification): scale/bias derived from the private passports.
     One shared conv and (by default, like the reference) ONE shared affine-free
     norm serve both branches — running BN stats are updated by whichever branch
-    runs. Always ReLU.
+    runs. The reference always applies ReLU (passportconv2d_private.py:66)
+    because it only places private blocks in BasicBlock positions; relu=False
+    supports Bottleneck positions (convbn_3/shortcut), which sit before the
+    residual add.
 
     separate_stats=True gives each branch its own BN running statistics
     ('bn' public / 'bn_private'), the per-branch-norm DeepIPR variant the
@@ -266,6 +269,7 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
     alpha: float = 1.0
     b_spec: Union[None, int, str] = None
     separate_stats: bool = False
+    relu: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -305,9 +309,10 @@ class PassportPrivateBlock(nn.Module, _PassportMixin):
                 pub_scale.astype(y.dtype).reshape(1, 1, 1, -1) * y
                 + pub_bias.astype(y.dtype).reshape(1, 1, 1, -1)
             )
-            y = nn.relu(y)
+            if self.relu:
+                y = nn.relu(y)
         else:
             y = self._derived_affine_forward(
-                x, key.value, skey.value, conv, norm, train, True, b
+                x, key.value, skey.value, conv, norm, train, self.relu, b
             )
         return y.astype(self.dtype) if self.dtype else y

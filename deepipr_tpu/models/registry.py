@@ -7,9 +7,9 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 from deepipr_tpu.models.alexnet import AlexNet
-from deepipr_tpu.models.resnet import ResNet18, ResNet9
+from deepipr_tpu.models.resnet import ResNet18, ResNet34, ResNet50, ResNet9
 
-ARCHS = ("alexnet", "resnet", "resnet9")
+ARCHS = ("alexnet", "resnet", "resnet9", "resnet34", "resnet50")
 
 NUM_CLASSES = {
     "cifar10": 10,
@@ -39,6 +39,18 @@ def build_model(
         )
     if arch in ("resnet", "resnet18"):
         return ResNet18(
+            num_classes=num_classes, norm_type=norm_type,
+            passport_kwargs=passport_kwargs, private=private,
+            imagenet=imagenet, dtype=dtype,
+        )
+    if arch == "resnet34":
+        return ResNet34(
+            num_classes=num_classes, norm_type=norm_type,
+            passport_kwargs=passport_kwargs, private=private,
+            imagenet=imagenet, dtype=dtype,
+        )
+    if arch == "resnet50":
+        return ResNet50(
             num_classes=num_classes, norm_type=norm_type,
             passport_kwargs=passport_kwargs, private=private,
             imagenet=imagenet, dtype=dtype,

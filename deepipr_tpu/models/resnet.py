@@ -52,9 +52,11 @@ def _make_block(
             name=name,
         )
         if private:
-            # PassportPrivateBlock always applies ReLU (reference :66)
+            # relu=True in every BasicBlock position (reference :66 always
+            # ReLUs); Bottleneck convbn_3/shortcut positions pass relu=False
             return PassportPrivateBlock(
                 separate_stats=layer_kwargs.get("separate_stats", False),
+                relu=relu,
                 **common,
             )
         return PassportBlock(
@@ -119,7 +121,12 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """Bottleneck block (normal models only, like the reference)."""
+    """Bottleneck block. The reference only supports passports in BasicBlock
+    positions (models/resnet_passport.py:10-17 handles BasicBlock only, and
+    only ResNet18 gets a private factory, resnet_passport_private.py:185-186);
+    passport/private Bottlenecks are a capability extension of this rebuild —
+    convbn_3/shortcut keep relu=False so the residual-add semantics are
+    unchanged when a position is passport-flagged."""
 
     expansion = 4
 
@@ -127,24 +134,39 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     norm_type: str = "bn"
-    passport_kwargs: Optional[Dict[str, Any]] = None  # unused; parity of signature
+    passport_kwargs: Optional[Dict[str, Any]] = None
     private: bool = False
     dtype: Any = None
 
+    def _sub_kwargs(self, name):
+        # configs may omit 'shortcut' for blocks without one
+        return None if self.passport_kwargs is None else self.passport_kwargs.get(name)
+
     @nn.compact
     def __call__(self, x, force_passport=False, ind=0, train=False):
-        out = ConvBlock(self.planes, 1, 1, 0, norm_type=self.norm_type,
-                        dtype=self.dtype, name="convbnrelu_1")(x, train=train)
-        out = ConvBlock(self.planes, 3, self.stride, 1, norm_type=self.norm_type,
-                        dtype=self.dtype, name="convbnrelu_2")(out, train=train)
-        out = ConvBlock(self.planes * self.expansion, 1, 1, 0,
-                        norm_type=self.norm_type, relu=False, dtype=self.dtype,
-                        name="convbn_3")(out, train=train)
+        b1 = _make_block(
+            self._sub_kwargs("convbnrelu_1"), self.norm_type, self.planes,
+            1, 1, 0, "convbnrelu_1", self.private, True, self.dtype,
+        )
+        b2 = _make_block(
+            self._sub_kwargs("convbnrelu_2"), self.norm_type, self.planes,
+            3, self.stride, 1, "convbnrelu_2", self.private, True, self.dtype,
+        )
+        b3 = _make_block(
+            self._sub_kwargs("convbn_3"), self.norm_type,
+            self.planes * self.expansion, 1, 1, 0, "convbn_3", self.private,
+            False, self.dtype,
+        )
+        out = _call_block(b1, x, force_passport, ind, train)
+        out = _call_block(b2, out, force_passport, ind, train)
+        out = _call_block(b3, out, force_passport, ind, train)
         if self.stride != 1 or self.in_planes != self.expansion * self.planes:
-            sc = ConvBlock(self.planes * self.expansion, 1, self.stride, 0,
-                           norm_type=self.norm_type, relu=False, dtype=self.dtype,
-                           name="shortcut")(x, train=train)
-            out = out + sc
+            sc = _make_block(
+                self._sub_kwargs("shortcut"), self.norm_type,
+                self.planes * self.expansion, 1, self.stride, 0,
+                "shortcut", self.private, False, self.dtype,
+            )
+            out = out + _call_block(sc, x, force_passport, ind, train)
         else:
             out = out + x
         return nn.relu(out)
@@ -251,5 +273,22 @@ def ResNet9Passport(num_classes=10, passport_kwargs=None, norm_type="bn", dtype=
 def ResNet18Private(num_classes=10, passport_kwargs=None, norm_type="bn", dtype=None,
                     imagenet=False):
     return ResNet18(num_classes=num_classes, norm_type=norm_type,
+                    passport_kwargs=passport_kwargs, private=True,
+                    imagenet=imagenet, dtype=dtype)
+
+
+# Bottleneck passport models — beyond the reference (its passport machinery
+# stops at BasicBlock, models/resnet_passport.py:10-17); same config format,
+# sub-block names convbnrelu_1/convbnrelu_2/convbn_3/shortcut.
+
+def ResNet50Passport(num_classes=10, passport_kwargs=None, norm_type="bn", dtype=None,
+                     imagenet=False):
+    return ResNet50(num_classes=num_classes, norm_type=norm_type,
+                    passport_kwargs=passport_kwargs, imagenet=imagenet, dtype=dtype)
+
+
+def ResNet50Private(num_classes=10, passport_kwargs=None, norm_type="bn", dtype=None,
+                    imagenet=False):
+    return ResNet50(num_classes=num_classes, norm_type=norm_type,
                     passport_kwargs=passport_kwargs, private=True,
                     imagenet=imagenet, dtype=dtype)

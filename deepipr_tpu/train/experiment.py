@@ -151,6 +151,24 @@ class ClassificationExperiment(Experiment):
         super().__init__(args)
         self.private = self.scheme in (2, 3)
 
+        self.device_augment = None
+        if self.args.get("device_augment"):
+            if self.train_backdoor or self.is_tl or self.dataset == "imagenet1000":
+                # V3 concatenates host-normalized f32 trigger batches into
+                # every step; TL disables random crop; the ImageNet streamer
+                # fuses its transform into decode — all stay on the host path.
+                print("WARNING: --device-augment ignored for this scheme/"
+                      "dataset; using the host augmentation path")
+                self.args["device_augment"] = False
+            else:
+                from deepipr_tpu.data.device_augment import make_device_augment
+
+                self.device_augment = make_device_augment(
+                    pad=int((4 / 32) * self.imgcrop),
+                    out_dtype=jnp.bfloat16 if self.args.get("bf16")
+                    else jnp.float32,
+                )
+
         self.train_data, self.valid_data = prepare_dataset(self.args)
         self.wm_data: Optional[DataLoader] = None
         if self.train_backdoor:
@@ -225,7 +243,10 @@ class ClassificationExperiment(Experiment):
 
         # Compile once; reuse across epochs (re-jitting per epoch would pay
         # the full XLA compile on every evaluation pass).
-        self.train_step = make_train_step(self.model, private=self.private)
+        self.train_step = make_train_step(
+            self.model, private=self.private,
+            device_augment=self.device_augment,
+        )
         self.eval_steps = {0: make_eval_step(self.model, ind=0)}
         if self.private:
             self.eval_steps[1] = make_eval_step(self.model, ind=1)

@@ -78,7 +78,8 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
     return out
 
 
-def make_train_step(model, private: bool, split_branches: bool = True):
+def make_train_step(model, private: bool, split_branches: bool = True,
+                    device_augment=None):
     """Build the jitted SGD train step for this model/scheme.
 
     Returns step(state, batch) -> (new_state, metrics); batch is a dict with
@@ -106,6 +107,11 @@ def make_train_step(model, private: bool, split_branches: bool = True):
     def step(state: TrainState, batch):
         x, y = batch["image"], batch["label"]
         w = batch.get("weight")  # per-sample weights (SPMD padding), or None
+        if device_augment is not None:
+            # raw uint8 batch from the host; crop/flip/normalize fused into
+            # this step on-device (data/device_augment.py), deterministic in
+            # the step counter
+            x = device_augment(jax.random.fold_in(jax.random.key(1), state.step), x)
         # deterministic per-step dropout rng (only consumed by models that
         # have dropout, i.e. the ImageNet AlexNet classifier)
         rngs = {"dropout": jax.random.fold_in(jax.random.key(0), state.step)}

@@ -12,7 +12,7 @@ from pprint import pprint
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="alexnet",
-                   choices=["alexnet", "resnet", "resnet9"],
+                   choices=["alexnet", "resnet", "resnet9", "resnet34", "resnet50"],
                    help="architecture (default: alexnet)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=200)
@@ -61,6 +61,9 @@ def build_parser():
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bf16 on the MXU and normalize path (statistics and "
                         "passport derivation stay f32)")
+    p.add_argument("--device-augment", action="store_true", default=False,
+                   help="run crop/flip/normalize on-device inside the train "
+                        "step (host ships raw uint8 batches; V0/V1/V2 only)")
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
