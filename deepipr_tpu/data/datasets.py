@@ -219,6 +219,8 @@ class StreamingImageFolder:
         workers: int = 16,
         resize_ratio: float = 256 / 224,
         cache_dir: str = None,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -228,6 +230,12 @@ class StreamingImageFolder:
         self.drop_last = drop_last
         self.seed = seed
         self.workers = workers
+        # multi-host DP: each process reads a disjoint strided slice of the
+        # (commonly-seeded) epoch permutation; batch_size is per process
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.decode_size = int(round(size * resize_ratio))
         self.cache_dir = cache_dir
         self.epoch = 0
@@ -244,15 +252,18 @@ class StreamingImageFolder:
                 self.samples.append((os.path.join(cls, fn), ci))
         self.labels = np.asarray([lab for _, lab in self.samples], np.int32)
 
+    def _shard_size(self):
+        return len(range(self.shard_id, len(self.samples), self.num_shards))
+
     def __len__(self):
-        n = len(self.samples) // self.batch_size
-        if not self.drop_last and len(self.samples) % self.batch_size:
+        n = self._shard_size() // self.batch_size
+        if not self.drop_last and self._shard_size() % self.batch_size:
             n += 1
         return n
 
     @property
     def num_examples(self):
-        return len(self.samples)
+        return self._shard_size()
 
     def _decode_resized(self, rel: str) -> np.ndarray:
         """uint8 (H,W,3) with short side == decode_size; cached when enabled."""
@@ -301,7 +312,8 @@ class StreamingImageFolder:
         rng = np.random.default_rng((self.seed, epoch))
         idx = np.arange(len(self.samples))
         if self.shuffle:
-            rng.shuffle(idx)
+            rng.shuffle(idx)  # same seed on every process -> same permutation
+        idx = idx[self.shard_id::self.num_shards]
         end = (
             len(idx) - len(idx) % self.batch_size if self.drop_last else len(idx)
         )
@@ -487,10 +499,16 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
         base = os.path.join(root, "ILSVRC2012")
         cache = args.get("imagenet_cache")
         workers = args.get("workers", 16)
+        if args.get("multihost"):
+            import jax
+
+            num_shards, shard_id = jax.process_count(), jax.process_index()
+        else:
+            num_shards, shard_id = 1, 0
         train_loader = StreamingImageFolder(
             os.path.join(base, "train"), bs, train=not is_tl, shuffle=True,
             drop_last=True, seed=args.get("seed", 0), workers=workers,
-            cache_dir=cache,
+            cache_dir=cache, num_shards=num_shards, shard_id=shard_id,
         )
         test_loader = StreamingImageFolder(
             os.path.join(base, "val"), bs * 2, train=False, workers=workers,
@@ -511,7 +529,8 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
 
 
 def prepare_wm(datapath: str = "data/trigger_set/pics", crop: int = 32,
-               shuffle: bool = True, seed: int = 0) -> DataLoader:
+               shuffle: bool = True, seed: int = 0,
+               raw: bool = False) -> DataLoader:
     """Trigger-set loader: WatermarkNN layout, batch 2, drop_last."""
     from PIL import Image
 
@@ -547,5 +566,5 @@ def prepare_wm(datapath: str = "data/trigger_set/pics", crop: int = 32,
         xs.append(np.asarray(img, np.uint8))
     return DataLoader(
         np.stack(xs), labels[: len(xs)], batch_size=2, shuffle=shuffle,
-        drop_last=True, seed=seed,
+        drop_last=True, seed=seed, raw=raw,
     )

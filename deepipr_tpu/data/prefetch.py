@@ -25,19 +25,19 @@ _END = _Sentinel()
 def prefetch(iterable: Iterable, size: int = 2, sharding=None) -> Iterator:
     """Iterate `iterable` on a background thread, `size` batches ahead.
 
-    If `sharding` is given, batches are device_put with it (so the transfer
-    also overlaps with compute).
+    Batches are device_put from the producer thread — with `sharding` when
+    given, else onto the default device — so the host->device transfer also
+    overlaps with compute instead of serializing at step dispatch (this
+    matters most when the chip sits behind a slow link; see BASELINE.md).
     """
     q: queue.Queue = queue.Queue(maxsize=size)
+    put = ((lambda x: jax.device_put(x, sharding)) if sharding is not None
+           else jax.device_put)
 
     def producer():
         try:
             for item in iterable:
-                if sharding is not None:
-                    item = jax.tree.map(
-                        lambda x: jax.device_put(x, sharding), item
-                    )
-                q.put(item)
+                q.put(jax.tree.map(put, item))
             q.put(_END)
         except BaseException as e:  # re-raised on the consumer side
             q.put(e)

@@ -153,10 +153,9 @@ class ClassificationExperiment(Experiment):
 
         self.device_augment = None
         if self.args.get("device_augment"):
-            if self.train_backdoor or self.is_tl or self.dataset == "imagenet1000":
-                # V3 concatenates host-normalized f32 trigger batches into
-                # every step; TL disables random crop; the ImageNet streamer
-                # fuses its transform into decode — all stay on the host path.
+            if self.is_tl or self.dataset == "imagenet1000":
+                # TL disables random crop; the ImageNet streamer fuses its
+                # transform into decode — both stay on the host path.
                 print("WARNING: --device-augment ignored for this scheme/"
                       "dataset; using the host augmentation path")
                 self.args["device_augment"] = False
@@ -171,11 +170,19 @@ class ClassificationExperiment(Experiment):
 
         self.train_data, self.valid_data = prepare_dataset(self.args)
         self.wm_data: Optional[DataLoader] = None
+        self.wm_data_raw: Optional[DataLoader] = None
         if self.train_backdoor:
             self.wm_data = prepare_wm(
                 self.args.get("trigger_path", "data/trigger_set/pics"),
                 crop=self.imgcrop,
             )
+            if self.device_augment is not None:
+                # separate raw-uint8 stream for the in-step concat; wm_data
+                # stays host-normalized for the WM evaluation passes
+                self.wm_data_raw = prepare_wm(
+                    self.args.get("trigger_path", "data/trigger_set/pics"),
+                    crop=self.imgcrop, raw=True,
+                )
         if self.use_trigger_as_passport:
             self.passport_data = prepare_wm(
                 self.args.get("trigger_path", "data/trigger_set/pics"),
@@ -315,10 +322,33 @@ class ClassificationExperiment(Experiment):
         — shapes stay static, the loss stays the reference's mean over the
         B+2 real samples.
         """
-        wm_iter = CyclingIterator(self.wm_data) if self.wm_data else None
+        wm_source = self.wm_data_raw if self.device_augment is not None else self.wm_data
+        wm_iter = CyclingIterator(wm_source) if wm_source else None
         n_shards = int(self.mesh.shape["batch"]) if self.mesh is not None else 1
         for batch in self.train_data:
-            if wm_iter is not None:
+            if wm_iter is not None and self.device_augment is not None:
+                # raw path: the trigger batch rides separately and the train
+                # step concatenates on-device after augmenting the task part;
+                # the wm side is padded (weight 0) up to shard divisibility
+                wb = wm_iter.next()
+                images, labels = [wb["image"]], [wb["label"]]
+                n_task, n_wm = len(batch["image"]), len(wb["image"])
+                pad = (-(n_task + n_wm)) % n_shards
+                weight = np.ones(n_task + n_wm + pad, np.float32)
+                weight[n_task + n_wm:] = 0.0
+                while pad > 0:
+                    extra = wm_iter.next()
+                    images.append(extra["image"][:pad])
+                    labels.append(extra["label"][:pad])
+                    pad -= len(extra["image"][:pad])
+                batch = {
+                    "image": batch["image"],
+                    "label": batch["label"],
+                    "wm_image": np.concatenate(images),
+                    "wm_label": np.concatenate(labels),
+                    "weight": weight,
+                }
+            elif wm_iter is not None:
                 wb = wm_iter.next()
                 images = [batch["image"], wb["image"]]
                 labels = [batch["label"], wb["label"]]
@@ -346,6 +376,8 @@ class ClassificationExperiment(Experiment):
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         for batch in prefetch(self._batches(), size=2, sharding=sharding):
             images += int(batch["label"].shape[0])
+            if "wm_label" in batch:
+                images += int(batch["wm_label"].shape[0])
             self.state, metrics = self.train_step(self.state, batch)
             count += 1
             # accumulate as device scalars; a per-step float() would force a

@@ -112,6 +112,15 @@ def make_train_step(model, private: bool, split_branches: bool = True,
             # this step on-device (data/device_augment.py), deterministic in
             # the step counter
             x = device_augment(jax.random.fold_in(jax.random.key(1), state.step), x)
+            if "wm_image" in batch:
+                # V3: trigger batch rides as raw uint8 and concatenates here
+                # on-device — normalize only, never random-augmented (the
+                # reference's trigger transform is CenterCrop+Normalize,
+                # dataset.py:177-186)
+                from deepipr_tpu.data.device_augment import normalize_device
+
+                x = jnp.concatenate([x, normalize_device(batch["wm_image"], x.dtype)])
+                y = jnp.concatenate([y, batch["wm_label"]])
         # deterministic per-step dropout rng (only consumed by models that
         # have dropout, i.e. the ImageNet AlexNet classifier)
         rngs = {"dropout": jax.random.fold_in(jax.random.key(0), state.step)}

@@ -123,3 +123,30 @@ class TestCaltech:
         # no example leaks between splits
         t_hashes = {a.tobytes() for a in tx}
         assert all(a.tobytes() not in t_hashes for a in vx)
+
+
+class TestMultiHostSharding:
+    """num_shards/shard_id: disjoint strided slices of a commonly-seeded
+    permutation — the per-process view of multi-host data parallelism."""
+
+    def test_shards_partition_each_epoch(self, image_root):
+        def labels_for(shard_id):
+            dl = StreamingImageFolder(
+                image_root, batch_size=5, size=32, train=True, shuffle=True,
+                seed=9, resize_ratio=1.0, workers=2,
+                num_shards=2, shard_id=shard_id,
+            )
+            assert dl.num_examples == 15
+            assert len(dl) == 3
+            return np.concatenate([b["label"] for b in dl])
+
+        l0, l1 = labels_for(0), labels_for(1)
+        assert len(l0) == len(l1) == 15
+        # the union of the two shards covers the full per-class label counts
+        combined = np.sort(np.concatenate([l0, l1]))
+        np.testing.assert_array_equal(combined, np.sort(np.repeat([0, 1, 2], 10)))
+
+    def test_bad_shard_id_raises(self, image_root):
+        with pytest.raises(ValueError):
+            StreamingImageFolder(image_root, batch_size=5, num_shards=2,
+                                 shard_id=2)

@@ -5,6 +5,8 @@ a legal (crop, flip) of its input under the host semantics, determinism in
 the PRNG key, and the raw-uint8 DataLoader + train-step integration.
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -102,6 +104,42 @@ def test_raw_loader_and_train_step_integration():
     # step counter feeds the augment PRNG: a second step draws differently
     state, metrics2 = step(state, batch)
     assert float(metrics2["loss"]) != float(metrics["loss"])
+
+
+def test_v3_trigger_rides_raw_and_concats_in_step(tmp_path):
+    """V3 + device augment: trigger batches ship as raw uint8 in 'wm_image'
+    and the step concatenates them on-device (normalize-only)."""
+    from deepipr_tpu.train.experiment import ClassificationExperiment
+
+    args = {
+        "arch": "alexnet", "dataset": "synthetic", "batch_size": 32,
+        "epochs": 1, "lr": 0.01, "norm_type": "bn", "key_type": "shuffle",
+        "sign_loss": 0.1, "train_passport": False, "train_backdoor": True,
+        "train_private": True, "lr_config": "lr_configs/finetune.json",
+        "passport_config": "passport_configs/alexnet_passport.json",
+        "logdir": str(tmp_path), "device_augment": True,
+        "synthetic_train": 128, "synthetic_test": 64,
+        "use_trigger_as_passport": False, "transfer_learning": False,
+        "pretrained_path": None, "seed": 0,
+    }
+    exp = ClassificationExperiment(args)
+    assert exp.device_augment is not None  # V3 no longer falls back to host
+    assert exp.wm_data_raw is not None
+
+    batch = next(iter(exp._batches()))
+    assert batch["image"].dtype == np.uint8
+    assert batch["wm_image"].dtype == np.uint8
+    n_task, n_wm = len(batch["image"]), len(batch["wm_image"])
+    assert len(batch["weight"]) == n_task + n_wm
+    assert batch["weight"][:n_task + 2].all()  # task + 2 real triggers
+
+    # the jitted step donates its state argument — reassign, don't fork
+    exp.state, metrics = exp.train_step(exp.state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    exp.training()
+    header = open(os.path.join(exp.logdir, "history.csv")).readline()
+    assert "wm_acc_public" in header and "wm_acc_private" in header
 
 
 def test_experiment_flag_smoke(tmp_path):

@@ -63,7 +63,8 @@ def build_parser():
                         "passport derivation stay f32)")
     p.add_argument("--device-augment", action="store_true", default=False,
                    help="run crop/flip/normalize on-device inside the train "
-                        "step (host ships raw uint8 batches; V0/V1/V2 only)")
+                        "step (host ships raw uint8 batches; V3 triggers "
+                        "concat on-device, normalize-only)")
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
