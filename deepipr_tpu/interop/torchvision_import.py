@@ -1,4 +1,4 @@
-"""Import torchvision-format checkpoints (AlexNet / ResNet-18).
+"""Import torchvision-format checkpoints (AlexNet / ResNet-18/34/50/101/152).
 
 The reference's ``pretrained=True`` paths download torchvision weights and
 copy them layer-by-layer (models/alexnet_normal.py:64-80,
@@ -22,6 +22,11 @@ from deepipr_tpu.interop.torch_import import import_torch_checkpoint
 _ALEXNET_FEATURE_MAP = {"0": "0", "3": "2", "6": "4", "8": "5", "10": "6"}
 _RESNET_SUB = {"conv1": "convbnrelu_1", "conv2": "convbn_2",
                "bn1": "convbnrelu_1", "bn2": "convbn_2"}
+# Bottleneck (resnet50/101/152): three convs per block
+_BOTTLENECK_SUB = {"conv1": "convbnrelu_1", "conv2": "convbnrelu_2",
+                   "conv3": "convbn_3",
+                   "bn1": "convbnrelu_1", "bn2": "convbnrelu_2",
+                   "bn3": "convbn_3"}
 
 
 def _rename_alexnet(sd: Dict[str, Any]) -> Dict[str, Any]:
@@ -38,7 +43,7 @@ def _rename_alexnet(sd: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def _rename_resnet18(sd: Dict[str, Any]) -> Dict[str, Any]:
+def _rename_resnet(sd: Dict[str, Any], submap: Dict[str, str]) -> Dict[str, Any]:
     out = {}
     for k, v in sd.items():
         parts = k.split(".")
@@ -53,9 +58,9 @@ def _rename_resnet18(sd: Dict[str, Any]) -> Dict[str, Any]:
             if sub == "downsample":
                 which = "conv" if parts[3] == "0" else "bn"
                 out[f"{layer}.{block}.shortcut.{which}.{parts[4]}"] = v
-            elif sub in _RESNET_SUB:
+            elif sub in submap:
                 kind = "conv" if sub.startswith("conv") else "bn"
-                out[f"{layer}.{block}.{_RESNET_SUB[sub]}.{kind}.{parts[3]}"] = v
+                out[f"{layer}.{block}.{submap[sub]}.{kind}.{parts[3]}"] = v
             else:
                 raise KeyError(f"unexpected torchvision resnet key: {k}")
         else:
@@ -70,8 +75,10 @@ def import_torchvision(sd: Dict[str, Any], template_variables: Dict,
           if not k.endswith("num_batches_tracked")}
     if arch == "alexnet":
         renamed = _rename_alexnet(sd)
-    elif arch in ("resnet18", "resnet"):
-        renamed = _rename_resnet18(sd)
+    elif arch in ("resnet18", "resnet", "resnet34"):
+        renamed = _rename_resnet(sd, _RESNET_SUB)
+    elif arch in ("resnet50", "resnet101", "resnet152"):
+        renamed = _rename_resnet(sd, _BOTTLENECK_SUB)
     else:
         raise ValueError(f"unsupported torchvision arch: {arch}")
     return import_torch_checkpoint(renamed, template_variables, strict=strict)

@@ -68,3 +68,43 @@ def test_resnet18_torchvision_import():
     v = import_torchvision(tv_resnet18_sd(), tmpl, "resnet18")
     y = model.apply(v, jnp.zeros((1, 224, 224, 3)))
     assert y.shape == (1, 1000)
+
+
+def tv_resnet50_sd():
+    """torchvision ResNet-50 (Bottleneck) state-dict keys/shapes."""
+    sd = {"conv1.weight": torch.zeros(64, 3, 7, 7)}
+    for p in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{p}"] = torch.zeros(64)
+    sd["bn1.num_batches_tracked"] = torch.tensor(0)
+    layers = {"layer1": (64, 64, 3), "layer2": (256, 128, 4),
+              "layer3": (512, 256, 6), "layer4": (1024, 512, 3)}
+    for layer, (cin, planes, nblocks) in layers.items():
+        cout = planes * 4
+        for b in range(nblocks):
+            c1_in = cin if b == 0 else cout
+            sd[f"{layer}.{b}.conv1.weight"] = torch.zeros(planes, c1_in, 1, 1)
+            sd[f"{layer}.{b}.conv2.weight"] = torch.zeros(planes, planes, 3, 3)
+            sd[f"{layer}.{b}.conv3.weight"] = torch.zeros(cout, planes, 1, 1)
+            for bn, ch in (("bn1", planes), ("bn2", planes), ("bn3", cout)):
+                for p in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{layer}.{b}.{bn}.{p}"] = torch.zeros(ch)
+                sd[f"{layer}.{b}.{bn}.num_batches_tracked"] = torch.tensor(0)
+            if b == 0:  # every layer's first block projects (cin != cout)
+                sd[f"{layer}.0.downsample.0.weight"] = torch.zeros(cout, cin, 1, 1)
+                for p in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{layer}.0.downsample.1.{p}"] = torch.zeros(cout)
+                sd[f"{layer}.0.downsample.1.num_batches_tracked"] = torch.tensor(0)
+    sd["fc.weight"] = torch.zeros(1000, 2048)
+    sd["fc.bias"] = torch.zeros(1000)
+    return sd
+
+
+def test_resnet50_torchvision_import():
+    from deepipr_tpu.models import ResNet50
+
+    model = ResNet50(num_classes=1000, imagenet=True)
+    tmpl = model.init({"params": jax.random.key(0)},
+                      jnp.zeros((1, 224, 224, 3)), train=False)
+    v = import_torchvision(tv_resnet50_sd(), tmpl, "resnet50")
+    y = model.apply(v, jnp.zeros((1, 224, 224, 3)))
+    assert y.shape == (1, 1000)
