@@ -72,7 +72,7 @@ def load_attacked_model(args, learnable_affine: bool = False):
 
     model, state = build(passport_kwargs)
     if args.loadpath:
-        state = load_state(args.loadpath, state)
+        state = load_state(args.loadpath, state, restore_opt=False)
 
     if learnable_affine and not private:
         from deepipr_tpu.interop.surgery import copy_matching

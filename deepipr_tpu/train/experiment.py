@@ -233,7 +233,8 @@ class ClassificationExperiment(Experiment):
         if self.pretrained_path and (self.scheme == 0 or self.is_tl):
             # scheme 0: resume/fine-tune a normal model. TL: the checkpoint
             # being transfer-attacked (reference finetune_load, base.py:85-108).
-            self.state = load_state(self.pretrained_path, self.state)
+            self.state = load_state(self.pretrained_path, self.state,
+                                    restore_opt=False)
 
         if use_passport and self.key_type != "random" and not self.is_tl:
             self._setup_keys()
@@ -280,7 +281,7 @@ class ClassificationExperiment(Experiment):
         pvars = pretrained.init(rngs, sample, train=True)
         if self.pretrained_path:
             ptmpl = TrainState.create(pvars, sgd_optimizer(0.0))
-            ptmpl = load_state(self.pretrained_path, ptmpl)
+            ptmpl = load_state(self.pretrained_path, ptmpl, restore_opt=False)
             pvars = ptmpl.model_variables()
         else:
             print(

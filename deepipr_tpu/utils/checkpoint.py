@@ -23,11 +23,30 @@ def save_state(path: str, state: Any) -> None:
         f.write(flax.serialization.to_bytes(host_state))
 
 
-def load_state(path: str, template: Any) -> Any:
+def load_state(path: str, template: Any, restore_opt: bool = True) -> Any:
     """Restore into a template with identical tree structure (e.g. a freshly
-    created TrainState)."""
+    created TrainState).
+
+    restore_opt=False skips the checkpoint's optimizer state and step counter,
+    keeping the template's — the "load pretrained weights" semantics the
+    attack CLIs and TL/fine-tune paths need. The optax state tree depends on
+    the LR *schedule* the optimizer was built with (a scheduled optimizer
+    carries a count, a constant-LR one doesn't), so restoring a scheduled
+    checkpoint into a constant-LR template (or vice versa) is a structure
+    mismatch unless opt_state is skipped.
+    """
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        data = f.read()
+    if restore_opt:
+        return flax.serialization.from_bytes(template, data)
+    sd = flax.serialization.msgpack_restore(data)
+    sd.pop("opt_state", None)
+    sd.pop("step", None)
+    restored = {
+        k: flax.serialization.from_state_dict(getattr(template, k), v, name=k)
+        for k, v in sd.items()
+    }
+    return template.replace(**restored)
 
 
 # ---------------------------------------------------------------------------

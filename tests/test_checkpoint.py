@@ -58,3 +58,36 @@ def test_orbax_roundtrip(tmp_path):
     save_state_orbax(d, state)
     restored = load_state_orbax(d, jax.device_get(state))
     _assert_states_equal(jax.device_get(state), restored)
+
+
+def test_weights_only_load_across_optimizer_shapes(tmp_path):
+    """A checkpoint trained with an LR SCHEDULE must load into a constant-LR
+    template when restore_opt=False (the attack-CLI / pretrained-weights
+    path). Full restore across mismatched optimizers raises — regression for
+    the opt_state/2 count mismatch hit by passport_attack_{2,3} on scheduled
+    checkpoints."""
+    import pytest
+
+    from deepipr_tpu.models import build_model
+    from deepipr_tpu.train.schedule import multistep_lr, sgd_optimizer
+    from deepipr_tpu.train.state import TrainState
+    from deepipr_tpu.utils.checkpoint import load_state, save_state
+
+    model = build_model("alexnet", 10)
+    v = model.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, 32, 32, 3), jnp.float32), train=True)
+    sched = multistep_lr(0.01, {"type": "steps", "steps": [2], "gamma": 0.1}, 4)
+    trained = TrainState.create(v, sgd_optimizer(sched))
+    trained = trained.replace(step=trained.step + 7)
+    path = str(tmp_path / "sched.ckpt")
+    save_state(path, trained)
+
+    template = TrainState.create(v, sgd_optimizer(0.01))  # constant LR
+    with pytest.raises(ValueError):
+        load_state(path, template)  # full restore: structure mismatch
+
+    restored = load_state(path, template, restore_opt=False)
+    assert int(restored.step) == 0  # template's, not the checkpoint's
+    jax.tree.map(np.testing.assert_array_equal, restored.params, trained.params)
+    # and the optimizer still steps
+    restored.apply_gradients(jax.tree.map(jnp.zeros_like, restored.params))

@@ -66,7 +66,8 @@ def main():
     shape = (1, args.imgcrop, args.imgcrop, 3)
     rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
     variables = model.init(rngs, jnp.zeros(shape, jnp.float32), train=True)
-    state = load_state(args.ckpt, TrainState.create(variables, sgd_optimizer(0.0)))
+    state = load_state(args.ckpt, TrainState.create(variables, sgd_optimizer(0.0)),
+                       restore_opt=False)
 
     fmodel, fvars = fold_for_inference(
         model, state.model_variables(), shape, ind=args.ind)
