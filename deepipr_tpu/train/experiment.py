@@ -52,6 +52,10 @@ from deepipr_tpu.utils.checkpoint import load_state, save_state
 from deepipr_tpu.utils.config import construct_passport_kwargs
 
 
+class TrainingDiverged(RuntimeError):
+    """Raised by the per-epoch finiteness guard (failure detection)."""
+
+
 def _mark_separate_stats(kwargs: Dict):
     for v in kwargs.values():
         if isinstance(v, dict) and "flag" in v:
@@ -422,6 +426,23 @@ class ClassificationExperiment(Experiment):
         )
         self.state = load_state(path, self.state)
 
+    def _check_finite(self, ep: int, train_metrics: Dict):
+        """Failure detection (beyond the reference, which trains on through
+        NaNs): halt with an actionable message the first epoch the loss goes
+        non-finite. Passport models are known to diverge above the canonical
+        lr 0.01 (the derived scale is unbounded), so point there."""
+        bad = {k: v for k, v in train_metrics.items()
+               if isinstance(v, float) and not np.isfinite(v)}
+        if bad:
+            raise TrainingDiverged(
+                f"non-finite training metrics at epoch {ep}: {bad}. "
+                f"Last good checkpoint: "
+                f"{os.path.join(self.logdir, 'models', 'last.ckpt')} "
+                f"(resumable with --resume). If this is a passport scheme "
+                f"with lr > 0.01, lower the lr — the passport-derived scale "
+                f"is unbounded and diverges above the reference's recipe."
+            )
+
     def training(self):
         best = float("-inf")
         print(f"Start training: scheme {self.scheme}, logdir {self.logdir}")
@@ -433,6 +454,7 @@ class ClassificationExperiment(Experiment):
                     train_metrics = self._train_epoch(ep)
             else:
                 train_metrics = self._train_epoch(ep)
+            self._check_finite(ep, train_metrics)
             valid_metrics = self._valid_metrics()
             wm_metrics = {}
             if self.train_backdoor and self.wm_data is not None:

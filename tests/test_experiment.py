@@ -117,3 +117,23 @@ class TestV3Backdoor:
         assert "backdoor_total_acc" in row
         # signature survival is tracked alongside
         assert any(k.startswith("old_wm_passport_private") for k in row)
+
+
+class TestFailureDetection:
+    def test_nan_guard_halts_with_actionable_message(self, tmp_path):
+        from deepipr_tpu.train.experiment import TrainingDiverged
+
+        exp = ClassificationExperiment(base_args(tmp_path))
+        with pytest.raises(TrainingDiverged, match="lr"):
+            exp._check_finite(3, {"loss": float("nan"), "acc": 1.0})
+        # finite metrics pass through silently
+        exp._check_finite(3, {"loss": 0.5, "acc": 1.0})
+
+    def test_divergent_run_halts(self, tmp_path, monkeypatch):
+        from deepipr_tpu.train import experiment as exp_mod
+
+        exp = ClassificationExperiment(base_args(tmp_path))
+        monkeypatch.setattr(
+            exp, "_train_epoch", lambda ep: {"loss": float("inf")})
+        with pytest.raises(exp_mod.TrainingDiverged):
+            exp.training()
