@@ -79,7 +79,7 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
 
 
 def make_train_step(model, private: bool, split_branches: bool = True,
-                    device_augment=None):
+                    device_augment=None, remat: str = "none"):
     """Build the jitted SGD train step for this model/scheme.
 
     Returns step(state, batch) -> (new_state, metrics); batch is a dict with
@@ -103,6 +103,19 @@ def make_train_step(model, private: bool, split_branches: bool = True,
         from deepipr_tpu.models.branching import branch_point
 
         fork = branch_point(model)
+
+    if remat not in ("none", "full"):
+        raise ValueError(f"remat must be 'none' or 'full', got {remat!r}")
+
+    def _maybe_remat(f):
+        # remat='full': store no forward activations; the backward pass
+        # recomputes them. The step is HBM-bandwidth-bound (docs/DESIGN.md
+        # §11) while the MXU sits half idle, so trading recompute FLOPs for
+        # activation traffic can pay — measured by benchmarks/bench_remat.py.
+        if remat == "full":
+            return jax.checkpoint(
+                f, policy=jax.checkpoint_policies.nothing_saveable)
+        return f
 
     def step(state: TrainState, batch):
         x, y = batch["image"], batch["label"]
@@ -130,19 +143,28 @@ def make_train_step(model, private: bool, split_branches: bool = True,
 
             if private and fork is not None:
                 fork_name, prefix_units = fork
-                logits0, upd0 = model.apply(
-                    variables, x, ind=0, train=True, rngs=rngs,
-                    mutable=["batch_stats", "passport_aux", "branch_tap"],
-                    tap_at=fork_name,
-                )
+
+                @_maybe_remat
+                def fwd0(variables, x):
+                    return model.apply(
+                        variables, x, ind=0, train=True, rngs=rngs,
+                        mutable=["batch_stats", "passport_aux", "branch_tap"],
+                        tap_at=fork_name,
+                    )
+
+                @_maybe_remat
+                def fwd1(variables, tap):
+                    return model.apply(
+                        variables, tap, ind=1, train=True, rngs=rngs,
+                        mutable=["batch_stats", "passport_aux"],
+                        start_at=fork_name,
+                    )
+
+                logits0, upd0 = fwd0(variables, x)
                 tap = jax.tree.leaves(upd0["branch_tap"])[0]
                 if "batch_stats" in upd0:
                     variables = {**variables, "batch_stats": upd0["batch_stats"]}
-                logits1, upd1 = model.apply(
-                    variables, tap, ind=1, train=True, rngs=rngs,
-                    mutable=["batch_stats", "passport_aux"],
-                    start_at=fork_name,
-                )
+                logits1, upd1 = fwd1(variables, tap)
                 ce = cross_entropy_mean(logits0, y, w) + cross_entropy_mean(
                     logits1, y, w)
                 sl, sacc = total_sign_loss(collect_aux(upd1))
@@ -160,16 +182,20 @@ def make_train_step(model, private: bool, split_branches: bool = True,
                     "acc_private": top1_accuracy(logits1, y, w),
                 }
             elif private:
-                logits0, upd0 = model.apply(
-                    variables, x, ind=0, train=True, rngs=rngs,
-                    mutable=["batch_stats", "passport_aux"],
-                )
+
+                def fwd_ind(ind):
+                    @_maybe_remat
+                    def f(variables, x):
+                        return model.apply(
+                            variables, x, ind=ind, train=True, rngs=rngs,
+                            mutable=["batch_stats", "passport_aux"],
+                        )
+                    return f
+
+                logits0, upd0 = fwd_ind(0)(variables, x)
                 if "batch_stats" in upd0:
                     variables = {**variables, "batch_stats": upd0["batch_stats"]}
-                logits1, upd1 = model.apply(
-                    variables, x, ind=1, train=True, rngs=rngs,
-                    mutable=["batch_stats", "passport_aux"],
-                )
+                logits1, upd1 = fwd_ind(1)(variables, x)
                 ce = cross_entropy_mean(logits0, y, w) + cross_entropy_mean(
                     logits1, y, w)
                 sl, sacc = total_sign_loss(collect_aux(upd1))
@@ -179,10 +205,15 @@ def make_train_step(model, private: bool, split_branches: bool = True,
                     "acc_private": top1_accuracy(logits1, y, w),
                 }
             else:
-                logits, upd = model.apply(
-                    variables, x, train=True, rngs=rngs,
-                    mutable=["batch_stats", "passport_aux"],
-                )
+
+                @_maybe_remat
+                def fwd(variables, x):
+                    return model.apply(
+                        variables, x, train=True, rngs=rngs,
+                        mutable=["batch_stats", "passport_aux"],
+                    )
+
+                logits, upd = fwd(variables, x)
                 ce = cross_entropy_mean(logits, y, w)
                 sl, sacc = total_sign_loss(collect_aux(upd))
                 new_stats = upd.get("batch_stats", state.batch_stats)

@@ -230,6 +230,29 @@ class TestSplitDualForward:
             jax.device_get(s_naive.batch_stats),
             jax.device_get(s_split.batch_stats))
 
+    @pytest.mark.parametrize("private", [True, False])
+    def test_remat_matches_baseline(self, private):
+        """remat='full' (jax.checkpoint over each branch forward) must be
+        trajectory-exact vs the stored-activation step — it only changes the
+        backward-pass schedule (benchmarks/bench_remat.py measures the cost)."""
+        model, batch = (self._models("alexnet") if private
+                        else (tiny_passport_model(), toy_batch(n=8)))
+        host = jax.tree.map(np.asarray, make_state(model, batch["image"]))
+        states = {r: jax.tree.map(jnp.asarray, host) for r in ("none", "full")}
+        for r in states:
+            step = make_train_step(model, private=private, remat=r)
+            for _ in range(2):
+                states[r], m = step(states[r], batch)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+            jax.device_get(states["none"].params),
+            jax.device_get(states["full"].params))
+
+    def test_remat_rejects_unknown_mode(self):
+        model, _ = self._models("alexnet")
+        with pytest.raises(ValueError, match="remat"):
+            make_train_step(model, private=True, remat="selective")
+
     def test_dual_eval_matches_two_single_evals(self):
         from deepipr_tpu.train.steps import (
             make_dual_eval_step,
