@@ -1,5 +1,14 @@
 """Training runtime: state, steps, schedules, key setup, experiments."""
 
+from deepipr_tpu.train.ensemble import (
+    init_ensemble,
+    make_ensemble_signature_fn,
+    make_ensemble_train_step,
+    member_state,
+    setup_ensemble_passports,
+    shard_ensemble,
+    stack_states,
+)
 from deepipr_tpu.train.keys import (
     collect_taps,
     get_intermediate_activation,
@@ -16,6 +25,13 @@ from deepipr_tpu.train.steps import (
 )
 
 __all__ = [
+    "init_ensemble",
+    "make_ensemble_signature_fn",
+    "make_ensemble_train_step",
+    "member_state",
+    "setup_ensemble_passports",
+    "shard_ensemble",
+    "stack_states",
     "collect_taps",
     "get_intermediate_activation",
     "sample_candidates",

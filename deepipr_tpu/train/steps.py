@@ -79,8 +79,11 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
 
 
 def make_train_step(model, private: bool, split_branches: bool = True,
-                    device_augment=None, remat: str = "none"):
+                    device_augment=None, remat: str = "none", jit: bool = True):
     """Build the jitted SGD train step for this model/scheme.
+
+    jit=False returns the raw step function — for callers that wrap it in
+    their own transform (the vmapped ensemble step, train/ensemble.py).
 
     Returns step(state, batch) -> (new_state, metrics); batch is a dict with
     'image' (N,H,W,C) and 'label' (N,). For V3 the trigger batch is already
@@ -229,6 +232,8 @@ def make_train_step(model, private: bool, split_branches: bool = True,
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=0)
 
 
