@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(remat, batch_size):
+def build(remat, batch_size, imagenet=False):
     from deepipr_tpu.models import ResNet18Private
     from deepipr_tpu.train.schedule import sgd_optimizer
     from deepipr_tpu.train.state import TrainState
@@ -33,9 +33,11 @@ def build(remat, batch_size):
                      "passport_configs/resnet18_passport.json"))
     kwargs, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
     model = ResNet18Private(num_classes=10, passport_kwargs=kwargs,
-                            dtype=jnp.bfloat16)
+                            imagenet=imagenet, dtype=jnp.bfloat16)
+    size = 224 if imagenet else 32
     rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
-    x = jax.random.normal(jax.random.key(2), (batch_size, 32, 32, 3), jnp.float32)
+    x = jax.random.normal(jax.random.key(2), (batch_size, size, size, 3),
+                          jnp.float32)
     y = jax.random.randint(jax.random.key(3), (batch_size,), 0, 10)
     variables = model.init(rngs, x, train=True)
     state = TrainState.create(variables, sgd_optimizer(0.01))
@@ -66,10 +68,10 @@ def time_one(step, state, batch, steps):
     return (time.time() - t0) / steps, state
 
 
-def main(batch_size=256, steps=20, rounds=3):
+def main(batch_size=256, steps=20, rounds=3, imagenet=False):
     variants = {}
     for name in ("none", "full"):
-        step, state, batch = build(name, batch_size)
+        step, state, batch = build(name, batch_size, imagenet=imagenet)
         try:
             tf, gb, temp = cost(step, state, batch)
             print(f"remat={name}: {tf:.3f} TFLOP/step, {gb:.2f} GB accessed, "
@@ -86,7 +88,9 @@ def main(batch_size=256, steps=20, rounds=3):
             dt, state = time_one(step, state, batch, steps)
             variants[name] = (step, state, batch, times + [dt])
 
-    print(f"\nbatch={batch_size}, {steps} steps x {rounds} alternating rounds:")
+    shape = "imagenet-stem 224" if imagenet else "cifar 32"
+    print(f"\n{shape}, batch={batch_size}, {steps} steps x {rounds} "
+          "alternating rounds:")
     for name, (_, _, _, times) in variants.items():
         best = min(times)
         ips = batch_size / best
@@ -95,5 +99,7 @@ def main(batch_size=256, steps=20, rounds=3):
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    main(batch_size=bs)
+    # usage: bench_remat.py [batch_size] [--imagenet]
+    argv = [a for a in sys.argv[1:] if a != "--imagenet"]
+    main(batch_size=int(argv[0]) if argv else 256,
+         imagenet="--imagenet" in sys.argv)

@@ -55,22 +55,26 @@ def ensemble_size(ensemble: TrainState) -> int:
 
 
 def override_signature(
-    signature: Dict[str, Any], spec: SignatureSpec, seed: int = 0
+    signature: Dict[str, Any], spec: SignatureSpec, seed: int = 0,
+    _prefix: str = "",
 ) -> Dict[str, Any]:
     """Re-encode every per-layer b in a 'signature' collection with `spec`
     (str -> ASCII bits in the leading channels, int -> constant, None ->
     random signs), mirroring the reference's passport_kwargs['b'] semantics
     (passportconv2d.py:25-41). Used to give each ensemble member its own
-    ASCII ownership string."""
+    ASCII ownership string. Each layer's rng is seeded from its FULL path so
+    same-named layers in different blocks (layer4_0/convbn_2 vs
+    layer4_1/convbn_2) keep independent random sign tails."""
     out = {}
-    for path, leaf in signature.items():
+    for name, leaf in signature.items():
+        path = f"{_prefix}/{name}" if _prefix else name
         if isinstance(leaf, dict) and "b" not in leaf:
-            out[path] = override_signature(leaf, spec, seed)
+            out[name] = override_signature(leaf, spec, seed, _prefix=path)
             continue
         b = leaf["b"]
         digest = hashlib.sha256(f"{seed}:{path}".encode()).digest()
         rng = jax.random.key(int.from_bytes(digest[:4], "little"))
-        out[path] = {"b": encode_signature(rng, b.shape[-1], spec)}
+        out[name] = {"b": encode_signature(rng, b.shape[-1], spec)}
     return out
 
 
@@ -100,7 +104,12 @@ def init_ensemble(
         variables = dict(
             model.init(rngs, jnp.zeros(input_shape, jnp.float32), train=True)
         )
-        if signatures is not None and variables.get("signature"):
+        if signatures is not None:
+            if not variables.get("signature"):
+                raise ValueError(
+                    "signatures given but the model has no passport layers "
+                    "(no 'signature' collection) — nothing to embed them in"
+                )
             variables["signature"] = override_signature(
                 dict(variables["signature"]), signatures[i], seed=seed * n + i
             )
@@ -119,17 +128,22 @@ def setup_ensemble_passports(
 ) -> TrainState:
     """Give each member its own passports: the reference's key-setup pass
     (train/keys.py) run per member with a distinct selection seed, so every
-    licensee's scale/bias derive from different secret activation shuffles."""
-    from deepipr_tpu.train.keys import setup_passports
+    licensee's scale/bias derive from different secret activation shuffles.
+    The pretrained tap forwards run ONCE; only the selection differs."""
+    from deepipr_tpu.train.keys import collect_taps, passports_from_taps
 
     n = ensemble_size(ensemble)
+    taps_x = collect_taps(pretrained_model, pretrained_variables, key_x)
+    taps_y = (
+        taps_x
+        if key_y is None
+        else collect_taps(pretrained_model, pretrained_variables, key_y)
+    )
     new = [
-        setup_passports(
-            pretrained_model,
-            pretrained_variables,
+        passports_from_taps(
+            taps_x,
+            taps_y,
             jax.tree.map(lambda x: x[i], ensemble.passport),
-            key_x,
-            key_y,
             seed=seed * max(n, 1) + i,
         )
         for i in range(n)

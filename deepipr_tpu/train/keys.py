@@ -93,6 +93,18 @@ def setup_passports(
         if key_y is None
         else collect_taps(pretrained_model, pretrained_variables, key_y)
     )
+    return passports_from_taps(taps_x, taps_y, target_passport, seed=seed)
+
+
+def passports_from_taps(
+    taps_x: Dict[str, Any],
+    taps_y: Dict[str, Any],
+    target_passport: Dict[str, Any],
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """setup_passports from precomputed taps — lets callers that build many
+    passport sets from the SAME pretrained activations (the licensee
+    ensemble, train/ensemble.py) run the tap forwards once."""
 
     def rebuild(node, path):
         if isinstance(node, dict) and "key" in node and "skey" in node:

@@ -57,6 +57,13 @@ class TestStacking:
         with pytest.raises(ValueError, match="at least one"):
             stack_states([])
 
+    def test_signatures_on_model_without_passports_rejected(self):
+        from deepipr_tpu.models import AlexNet
+
+        with pytest.raises(ValueError, match="no passport layers"):
+            init_ensemble(AlexNet(num_classes=10), sgd_optimizer(0.01),
+                          (2, 16, 16, 3), n=2, signatures=["a", "b"])
+
     def test_signature_count_mismatch_rejected(self):
         model = tiny_passport_model(private=True)
         with pytest.raises(ValueError, match="signatures"):
@@ -137,6 +144,20 @@ class TestLicenseeSignatures:
             for a in affs.values():
                 scale = np.asarray(a["scale"]).flatten()
                 assert decode_string(scale[: len(text) * 8]) == text
+
+    def test_nested_same_named_layers_get_independent_tails(self):
+        """ResNet-style nested signature trees: layer4_0/convbn_2 and
+        layer4_1/convbn_2 must NOT share a signature rng — the random tail
+        beyond the ASCII prefix has to differ per layer path."""
+        sig = {
+            "layer4_0": {"convbn_2": {"b": jnp.ones((512,))}},
+            "layer4_1": {"convbn_2": {"b": jnp.ones((512,))}},
+        }
+        out = override_signature(sig, "Hi", seed=0)
+        b0 = np.asarray(out["layer4_0"]["convbn_2"]["b"])
+        b1 = np.asarray(out["layer4_1"]["convbn_2"]["b"])
+        np.testing.assert_array_equal(b0[:16], b1[:16])  # same ASCII prefix
+        assert not np.array_equal(b0[16:], b1[16:])  # independent tails
 
     def test_override_signature_is_deterministic(self):
         model, ens = small_ensemble(n=1)

@@ -34,10 +34,12 @@ def ref():
     _stub_torchvision()
     sys.path.insert(0, REFERENCE)
     try:
+        import models.alexnet_passport as alexnet_passport
         import models.alexnet_passport_private as alexnet_private
         import models.resnet_passport_private as resnet_private
 
         yield {
+            "alexnet_v1": alexnet_passport.AlexNetPassport,
             "alexnet_private": alexnet_private.AlexNetPassportPrivate,
             "resnet_private": resnet_private.ResNet18Private,
         }
@@ -125,6 +127,35 @@ class TestAlexNetExport:
         for coll in ("params", "batch_stats", "passport", "signature"):
             jax.tree.map(np.testing.assert_array_equal,
                          back[coll], dict(variables[coll]))
+
+
+class TestV1Export:
+    def test_reference_v1_loads_and_reproduces(self, ref):
+        """V1 (non-private) passport export: key/skey without the _private
+        suffix, sign_loss (not sign_loss_private) alias."""
+        cfg = {"0": False, "2": False, "4": "hi", "5": True, "6": True}
+        model, variables = _ours_with_keys(
+            lambda kw: AlexNet(num_classes=10, passport_kwargs=kw),
+            cfg,
+            lambda: AlexNet(num_classes=10),
+        )
+        sd = export_torch_state_dict(model, variables)
+        ref_kwargs = {
+            "0": _ref_layer_kwargs(False), "2": _ref_layer_kwargs(False),
+            "4": _ref_layer_kwargs(True, b="hi"), "5": _ref_layer_kwargs(True),
+            "6": _ref_layer_kwargs(True),
+        }
+        tmodel = ref["alexnet_v1"](3, 10, ref_kwargs)
+        missing, unexpected = tmodel.load_state_dict(sd, strict=True)
+        assert not missing and not unexpected
+        tmodel.eval()
+
+        x = np.random.default_rng(7).standard_normal((4, 32, 32, 3)).astype(np.float32)
+        ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+        with torch.no_grad():
+            theirs = tmodel(torch.from_numpy(
+                np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+        np.testing.assert_allclose(theirs, ours, rtol=1e-3, atol=2e-4)
 
 
 class TestResNetExport:

@@ -35,8 +35,11 @@ def main():
     p.add_argument("--sign-loss", type=float, default=0.1)
     p.add_argument("--passport-config",
                    help="passport config JSON; omit for a normal model")
-    p.add_argument("--private", action="store_true", default=None,
-                   help="V2/V3 model (default: inferred from --passport-config)")
+    p.add_argument("--private", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="V2/V3 model; --no-private for a V1 passport "
+                        "checkpoint (default: private iff --passport-config "
+                        "is given)")
     p.add_argument("--imgcrop", type=int, default=32)
     args = p.parse_args()
 

@@ -69,7 +69,7 @@ def main():
 
     signatures = None
     if args.signatures:
-        signatures = [s for s in args.signatures.split(",")]
+        signatures = args.signatures.split(",")
         if len(signatures) != args.members:
             p.error(f"--signatures lists {len(signatures)} strings for "
                     f"{args.members} members")
@@ -83,6 +83,9 @@ def main():
     train = DataLoader(xtr, ytr, args.batch_size, shuffle=True,
                        train_augment=True, drop_last=True, seed=args.seed)
     val = DataLoader(xte, yte, args.batch_size)
+    if len(train) == 0:
+        p.error(f"--batch-size {args.batch_size} exceeds the train set "
+                f"({len(xtr)} images with drop_last)")
 
     cfg = json.load(open(args.passport_config))
     kw, _ = construct_passport_kwargs(cfg, args.norm_type, args.key_type,
@@ -109,9 +112,14 @@ def main():
         nv = load_state(args.pretrained_path, tmpl,
                         restore_opt=False).model_variables()
     from deepipr_tpu.data.datasets import normalize
+    from deepipr_tpu.train.keys import sample_candidates
 
-    cands = normalize(xte[:20].copy())
-    ens = setup_ensemble_passports(model, ens, normal, nv, cands, cands,
+    # two independent candidate draws for key/skey, like the runner
+    # (train/experiment.py) and the reference's two get_key calls
+    # (passport_generator.py:6-17)
+    kx = normalize(sample_candidates(xte, 20, args.seed + 10))
+    ky = normalize(sample_candidates(xte, 20, args.seed + 11))
+    ens = setup_ensemble_passports(model, ens, normal, nv, kx, ky,
                                    seed=args.seed)
 
     step = make_ensemble_train_step(model, private=True)
