@@ -1,0 +1,103 @@
+"""Device-resident epoch training: one dispatch per EPOCH, not per step.
+
+The per-step loop pays a host round-trip per batch: H2D of the batch plus a
+dispatch. On a direct-attached host that overhead is small; on a
+relay-attached chip (this dev environment) it dominates — the end-to-end
+loop runs at ~8-14k img/s while the compute-bound step does 28k
+(BASELINE.md). CIFAR-scale datasets fit comfortably in HBM as raw uint8
+(50k x 32x32x3 = 150 MB), so the TPU-shaped answer is to park the WHOLE
+training set on the device once and run the epoch as a `lax.scan`:
+
+  - per-epoch shuffle = jax.random.permutation on device,
+  - per-step minibatch = one gather from the resident uint8 array,
+  - augmentation = the fused on-device crop/flip/normalize
+    (data/device_augment.py), keyed by the global step counter,
+  - V3 trigger batches ride resident too, cycled by step index
+    (the reference's cycling trigger loader, trainer.py:115-126).
+
+The scanned epoch is numerically identical to per-step dispatch of the same
+step function — same params math, same BN updates, same augmentation stream
+(both key off state.step) — proven in tests/test_epoch_scan.py.
+
+Scope: single-host, in-memory datasets (CIFAR/synthetic/Caltech). Streaming
+ImageNet keeps the per-step host loop; under a multi-device mesh the
+resident gather would shuffle across shards every step, so the per-step
+sharded path remains the pod answer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deepipr_tpu.data.device_augment import make_device_augment
+from deepipr_tpu.train.state import TrainState
+from deepipr_tpu.train.steps import make_train_step
+
+
+def make_epoch_train_fn(
+    model,
+    private: bool,
+    batch_size: int,
+    pad: int,
+    random_crop: bool = True,
+    split_branches: bool = True,
+    remat: str = "none",
+    wm_batch: int = 2,
+    out_dtype=jnp.float32,
+):
+    """Build epoch_fn(state, images_u8, labels, epoch_key[, wm_images_u8,
+    wm_labels]) -> (state, mean_metrics).
+
+    images_u8/labels stay on device across epochs (device_put once);
+    drop_last semantics like the reference train loader. wm arrays (V3)
+    are the raw uint8 trigger set; every step takes the next `wm_batch`
+    images round-robin and the train step concatenates them on-device.
+    """
+    aug = make_device_augment(pad, random_crop=random_crop,
+                              out_dtype=out_dtype)
+    raw_step = make_train_step(
+        model, private, split_branches=split_branches,
+        device_augment=aug, remat=remat, jit=False,
+    )
+
+    def epoch_fn(
+        state: TrainState,
+        images_u8: jax.Array,
+        labels: jax.Array,
+        epoch_key: jax.Array,
+        wm_images_u8: Optional[jax.Array] = None,
+        wm_labels: Optional[jax.Array] = None,
+    ):
+        n = images_u8.shape[0]
+        steps = n // batch_size
+        if steps == 0:
+            raise ValueError(
+                f"batch_size {batch_size} exceeds the dataset ({n} images)")
+        perm = jax.random.permutation(epoch_key, n)
+        perm = perm[: steps * batch_size].reshape(steps, batch_size)
+
+        def body(state, args):
+            t, idx = args
+            batch = {"image": images_u8[idx], "label": labels[idx]}
+            if wm_images_u8 is not None:
+                m = wm_images_u8.shape[0]
+                wm_idx = (t * wm_batch + jnp.arange(wm_batch)) % m
+                batch["wm_image"] = wm_images_u8[wm_idx]
+                batch["wm_label"] = wm_labels[wm_idx]
+            return raw_step(state, batch)
+
+        state, metrics = jax.lax.scan(
+            body, state, (jnp.arange(steps), perm))
+        return state, jax.tree.map(lambda a: a.mean(), metrics)
+
+    return jax.jit(epoch_fn, donate_argnums=0)
+
+
+def device_resident(images_u8, labels):
+    """Park a dataset in HBM once (plain device_put; the arrays are reused
+    by every epoch_fn call without re-transfer)."""
+    return jax.device_put(jnp.asarray(images_u8)), jax.device_put(
+        jnp.asarray(labels))

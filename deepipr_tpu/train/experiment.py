@@ -172,6 +172,14 @@ class ClassificationExperiment(Experiment):
                     else jnp.float32,
                 )
 
+        self.epoch_scan = False
+        if self.args.get("epoch_scan"):
+            if self.is_tl or self.dataset == "imagenet1000":
+                print("WARNING: --epoch-scan ignored for this scheme/dataset "
+                      "(TL and streaming ImageNet keep the per-step path)")
+            else:
+                self.epoch_scan = True
+
         self.train_data, self.valid_data = prepare_dataset(self.args)
         self.wm_data: Optional[DataLoader] = None
         self.wm_data_raw: Optional[DataLoader] = None
@@ -180,7 +188,7 @@ class ClassificationExperiment(Experiment):
                 self.args.get("trigger_path", "data/trigger_set/pics"),
                 crop=self.imgcrop,
             )
-            if self.device_augment is not None:
+            if self.device_augment is not None or self.epoch_scan:
                 # separate raw-uint8 stream for the in-step concat; wm_data
                 # stays host-normalized for the WM evaluation passes
                 self.wm_data_raw = prepare_wm(
@@ -196,6 +204,13 @@ class ClassificationExperiment(Experiment):
             self.passport_data = self.valid_data
 
         self.mesh = make_mesh() if args.get("use_mesh", True) else None
+        if self.epoch_scan and self.mesh is not None and self.mesh.size > 1:
+            # the resident gather would reshuffle across shards every step;
+            # per-step host sharding stays the multi-chip answer
+            # (train/epoch.py docstring)
+            print("WARNING: --epoch-scan is single-chip; using the per-step "
+                  f"path on the {self.mesh.size}-device mesh")
+            self.epoch_scan = False
 
         self._construct_model()
         self.makedirs_or_load()
@@ -259,6 +274,25 @@ class ClassificationExperiment(Experiment):
             self.model, private=self.private,
             device_augment=self.device_augment,
         )
+        self.epoch_fn = None
+        if self.epoch_scan:
+            from deepipr_tpu.train.epoch import (
+                device_resident,
+                make_epoch_train_fn,
+            )
+
+            self.epoch_fn = make_epoch_train_fn(
+                self.model, self.private, self.batch_size,
+                pad=int((4 / 32) * self.imgcrop),
+                out_dtype=jnp.bfloat16 if self.args.get("bf16")
+                else jnp.float32,
+            )
+            self._resident = device_resident(
+                self.train_data.images, self.train_data.labels)
+            self._resident_wm = ()
+            if self.wm_data_raw is not None:
+                self._resident_wm = device_resident(
+                    self.wm_data_raw.images, self.wm_data_raw.labels)
         self.eval_steps = {0: make_eval_step(self.model, ind=0)}
         if self.private:
             self.eval_steps[1] = make_eval_step(self.model, ind=1)
@@ -374,6 +408,23 @@ class ClassificationExperiment(Experiment):
             yield batch
 
     def _train_epoch(self, ep: int) -> Dict:
+        if self.epoch_fn is not None:
+            # device-resident scanned epoch: ONE dispatch, zero per-step H2D
+            # (train/epoch.py); step-for-step identical to the per-step path
+            t0 = time.time()
+            self.state, metrics = self.epoch_fn(
+                self.state, *self._resident,
+                jax.random.fold_in(jax.random.key(self.seed + 100), ep),
+                *self._resident_wm,
+            )
+            out = {k: float(v) for k, v in metrics.items()}
+            steps = len(self._resident[1]) // self.batch_size
+            images = steps * self.batch_size
+            if self._resident_wm:
+                images += steps * 2
+            out["time"] = time.time() - t0
+            out["images_per_sec"] = images / max(out["time"], 1e-9)
+            return out
         t0 = time.time()
         sums = None
         count = 0

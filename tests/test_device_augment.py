@@ -25,6 +25,24 @@ def _u8(shape, seed=0):
     return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
 
 
+def test_onehot_crop_is_bit_identical_to_slice():
+    """The MXU-friendly one-hot-matmul crop must reproduce the vmapped
+    dynamic_slice crop exactly for the same key (one-hot weights are exact
+    0/1, values <= 255 are exact in f32)."""
+    x = jnp.asarray(_u8((16, 16, 16, 3)))
+    for key in (jax.random.key(0), jax.random.key(9)):
+        a = make_device_augment(2, crop_impl="onehot")(key, x)
+        b = make_device_augment(2, crop_impl="slice")(key, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bad_crop_impl_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="crop_impl"):
+        make_device_augment(2, crop_impl="fancy")
+
+
 def test_normalize_device_matches_host():
     x = _u8((4, 8, 8, 3))
     np.testing.assert_allclose(
@@ -157,5 +175,53 @@ def test_experiment_flag_smoke(tmp_path):
     exp = ClassificationExperiment(args)
     assert exp.device_augment is not None
     assert next(iter(exp.train_data))["image"].dtype == np.uint8
+    exp.makedirs_or_load()
+    exp.training()
+
+
+def test_experiment_epoch_scan_smoke(tmp_path):
+    """--epoch-scan end-to-end through the experiment: scanned epochs train,
+    history lands, and the run produces sane metrics. On the 8-device test
+    mesh the flag falls back to per-step (single-chip feature) — so force
+    the meshless path to exercise the scan itself."""
+    from deepipr_tpu.train.experiment import ClassificationExperiment
+
+    args = {
+        "arch": "alexnet", "dataset": "synthetic", "batch_size": 32,
+        "epochs": 2, "lr": 0.01, "norm_type": "bn", "key_type": "random",
+        "sign_loss": 0.1, "train_passport": True, "train_backdoor": False,
+        "train_private": False, "lr_config": "lr_configs/default.json",
+        "passport_config": "passport_configs/alexnet_passport.json",
+        "logdir": str(tmp_path), "epoch_scan": True, "use_mesh": False,
+        "synthetic_train": 128, "synthetic_test": 64,
+    }
+    exp = ClassificationExperiment(args)
+    assert exp.epoch_fn is not None
+    exp.makedirs_or_load()
+    exp.training()
+    import os
+
+    hist = open(os.path.join(exp.logdir, "history.csv")).read()
+    assert "train_sign_acc" in hist
+
+
+def test_epoch_scan_falls_back_on_multidevice_mesh(tmp_path):
+    from deepipr_tpu.train.experiment import ClassificationExperiment
+
+    import jax as _jax
+    if _jax.device_count() < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device mesh")
+    args = {
+        "arch": "alexnet", "dataset": "synthetic", "batch_size": 32,
+        "epochs": 1, "lr": 0.01, "norm_type": "bn", "key_type": "random",
+        "sign_loss": 0.1, "train_passport": False, "train_backdoor": False,
+        "train_private": False, "lr_config": "lr_configs/default.json",
+        "passport_config": "passport_configs/alexnet_passport.json",
+        "logdir": str(tmp_path), "epoch_scan": True,
+        "synthetic_train": 128, "synthetic_test": 64,
+    }
+    exp = ClassificationExperiment(args)
+    assert exp.epoch_fn is None  # fell back, per-step path still works
     exp.makedirs_or_load()
     exp.training()

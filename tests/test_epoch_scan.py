@@ -1,0 +1,102 @@
+"""Device-resident scanned-epoch training (train/epoch.py) must be
+step-for-step identical to dispatching the same step function per batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepipr_tpu.data.device_augment import make_device_augment
+from deepipr_tpu.train.epoch import device_resident, make_epoch_train_fn
+from deepipr_tpu.train.steps import make_train_step
+
+from test_train import make_state, tiny_passport_model
+
+
+def u8_data(n=64, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (n, size, size, 3)).astype(np.uint8)
+    y = rng.integers(0, 10, n).astype(np.int32)
+    return x, y
+
+
+class TestEpochScan:
+    @pytest.mark.parametrize("private", [True, False])
+    def test_matches_per_step_dispatch(self, private):
+        model = tiny_passport_model(private=private)
+        x, y = u8_data()
+        bs, pad = 16, 2
+        state0 = make_state(model, jnp.zeros((2, 16, 16, 3)))
+        host = jax.tree.map(np.asarray, state0)
+
+        epoch_fn = make_epoch_train_fn(model, private, bs, pad)
+        xs, ys = device_resident(x, y)
+        key = jax.random.key(42)
+        s_scan = jax.tree.map(jnp.asarray, host)
+        s_scan, m_scan = epoch_fn(s_scan, xs, ys, key)
+
+        # manual per-step loop over the SAME permutation and step function
+        aug = make_device_augment(pad)
+        step = make_train_step(model, private, device_augment=aug)
+        perm = np.asarray(jax.random.permutation(key, len(x)))
+        s_loop = jax.tree.map(jnp.asarray, host)
+        ms = []
+        for t in range(len(x) // bs):
+            idx = perm[t * bs:(t + 1) * bs]
+            s_loop, m = step(s_loop, {"image": jnp.asarray(x[idx]),
+                                      "label": jnp.asarray(y[idx])})
+            ms.append(m)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_scan.params), jax.device_get(s_loop.params))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_scan.batch_stats),
+            jax.device_get(s_loop.batch_stats))
+        for k in ms[0]:
+            want = np.mean([float(m[k]) for m in ms])
+            assert float(m_scan[k]) == pytest.approx(want, rel=1e-4,
+                                                     abs=1e-5), k
+
+    def test_v3_trigger_cycling_matches(self):
+        model = tiny_passport_model(private=True)
+        x, y = u8_data(n=32)
+        wm_x, wm_y = u8_data(n=6, seed=5)
+        bs, pad = 16, 2
+        state0 = make_state(model, jnp.zeros((2, 16, 16, 3)))
+        host = jax.tree.map(np.asarray, state0)
+
+        epoch_fn = make_epoch_train_fn(model, True, bs, pad)
+        xs, ys = device_resident(x, y)
+        ws, wys = device_resident(wm_x, wm_y)
+        key = jax.random.key(3)
+        s_scan, _ = epoch_fn(jax.tree.map(jnp.asarray, host), xs, ys, key,
+                             ws, wys)
+
+        aug = make_device_augment(pad)
+        step = make_train_step(model, True, device_augment=aug)
+        perm = np.asarray(jax.random.permutation(key, len(x)))
+        s_loop = jax.tree.map(jnp.asarray, host)
+        for t in range(len(x) // bs):
+            idx = perm[t * bs:(t + 1) * bs]
+            wm_idx = (t * 2 + np.arange(2)) % len(wm_x)
+            s_loop, _ = step(s_loop, {
+                "image": jnp.asarray(x[idx]), "label": jnp.asarray(y[idx]),
+                "wm_image": jnp.asarray(wm_x[wm_idx]),
+                "wm_label": jnp.asarray(wm_y[wm_idx]),
+            })
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_scan.params), jax.device_get(s_loop.params))
+
+    def test_oversized_batch_rejected(self):
+        model = tiny_passport_model(private=True)
+        x, y = u8_data(n=8)
+        epoch_fn = make_epoch_train_fn(model, True, 16, 2)
+        state = make_state(model, jnp.zeros((2, 16, 16, 3)))
+        xs, ys = device_resident(x, y)
+        with pytest.raises(ValueError, match="exceeds"):
+            epoch_fn(state, xs, ys, jax.random.key(0))

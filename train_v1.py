@@ -65,6 +65,12 @@ def build_parser():
                    help="run crop/flip/normalize on-device inside the train "
                         "step (host ships raw uint8 batches; V3 triggers "
                         "concat on-device, normalize-only)")
+    p.add_argument("--epoch-scan", action="store_true", default=False,
+                   help="device-resident training: park the dataset in HBM "
+                        "and run each epoch as ONE lax.scan dispatch with "
+                        "on-device augmentation (single-chip, in-memory "
+                        "datasets; ~2x end-to-end vs per-step dispatch on "
+                        "transfer-bound hosts)")
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
