@@ -2,6 +2,7 @@
 
 from deepipr_tpu.train.ensemble import (
     init_ensemble,
+    make_ensemble_epoch_fn,
     make_ensemble_signature_fn,
     make_ensemble_train_step,
     member_state,
@@ -26,6 +27,7 @@ from deepipr_tpu.train.steps import (
 
 __all__ = [
     "init_ensemble",
+    "make_ensemble_epoch_fn",
     "make_ensemble_signature_fn",
     "make_ensemble_train_step",
     "member_state",

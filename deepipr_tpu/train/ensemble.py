@@ -172,6 +172,49 @@ def make_ensemble_train_step(
     return jax.jit(vstep, donate_argnums=0)
 
 
+def make_ensemble_epoch_fn(
+    model,
+    private: bool,
+    batch_size: int,
+    pad: int,
+    random_crop: bool = True,
+    out_dtype=jnp.float32,
+):
+    """Scanned epochs for the whole fleet: lax.scan over minibatches of a
+    device-resident dataset, each step a vmapped member-parallel train step
+    (train/epoch.py composed with the ensemble vmap). One dispatch advances
+    every member through a full epoch — zero per-step H2D or dispatch.
+
+    All members see the same shuffled data stream and augmentation draws
+    (the per-step rng keys off state.step, identical across members);
+    params/passports/signatures stay per-member.
+    """
+    from deepipr_tpu.data.device_augment import make_device_augment
+
+    aug = make_device_augment(pad, random_crop=random_crop,
+                              out_dtype=out_dtype)
+    raw_step = make_train_step(model, private, device_augment=aug, jit=False)
+    vstep = jax.vmap(raw_step, in_axes=(0, None))
+
+    def epoch_fn(ensemble: TrainState, images_u8, labels, epoch_key):
+        n = images_u8.shape[0]
+        steps = n // batch_size
+        if steps == 0:
+            raise ValueError(
+                f"batch_size {batch_size} exceeds the dataset ({n} images)")
+        perm = jax.random.permutation(epoch_key, n)
+        perm = perm[: steps * batch_size].reshape(steps, batch_size)
+
+        def body(ens, idx):
+            return vstep(ens, {"image": images_u8[idx], "label": labels[idx]})
+
+        ensemble, metrics = jax.lax.scan(body, ensemble, perm)
+        # mean over steps, keep the member axis: {metric: (N,)}
+        return ensemble, jax.tree.map(lambda a: a.mean(axis=0), metrics)
+
+    return jax.jit(epoch_fn, donate_argnums=0)
+
+
 def make_ensemble_signature_fn(model, input_shape, private: bool):
     """Vmapped signature detection: {layer: length-N bit-accuracy vector}."""
     from deepipr_tpu.passport.codec import bit_accuracy

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--passport-config", required=True)
     p.add_argument("--pretrained-path",
                    help="normal-model ckpt whose activations seed the passports")
+    p.add_argument("--epoch-scan", action="store_true",
+                   help="device-resident scanned epochs for the whole fleet: "
+                        "one dispatch advances every member through an epoch")
     p.add_argument("--separate-stats", action="store_true",
                    help="per-branch BN stats: keeps the public branch healthy "
                         "when passports come from an untrained model (shared "
@@ -122,15 +125,28 @@ def main():
     ens = setup_ensemble_passports(model, ens, normal, nv, kx, ky,
                                    seed=args.seed)
 
-    step = make_ensemble_train_step(model, private=True)
     sigfn = make_ensemble_signature_fn(model, (1, size, size, 3), private=True)
     eval_step = make_dual_eval_step(model)
+    if args.epoch_scan:
+        from deepipr_tpu.train.ensemble import make_ensemble_epoch_fn
+        from deepipr_tpu.train.epoch import device_resident
+
+        epoch_fn = make_ensemble_epoch_fn(
+            model, True, args.batch_size, pad=int((4 / 32) * size))
+        xs, ys = device_resident(xtr, ytr)
+    else:
+        step = make_ensemble_train_step(model, private=True)
 
     for epoch in range(1, args.epochs + 1):
-        last = None
-        for batch in train:
-            ens, last = step(ens, {"image": jnp.asarray(batch["image"]),
-                                   "label": jnp.asarray(batch["label"])})
+        if args.epoch_scan:
+            ens, last = epoch_fn(
+                ens, xs, ys,
+                jax.random.fold_in(jax.random.key(args.seed + 100), epoch))
+        else:
+            last = None
+            for batch in train:
+                ens, last = step(ens, {"image": jnp.asarray(batch["image"]),
+                                       "label": jnp.asarray(batch["label"])})
         tr = {k: np.asarray(v) for k, v in last.items()}
         sig = sigfn(ens)
         sig_min = np.stack(list(sig.values())).min(axis=0)
