@@ -22,9 +22,11 @@ models/layers/passportconv2d_private.py / passportconv2d.py):
   params/linear|classifier*/kernel   -> .weight (O,I); flattened-conv linears
                                         get their columns re-ordered HWC->CHW
 
-Scope: CIFAR-shape AlexNet/ResNet models (the reference's model set).
-separate_stats models cannot be exported (the reference has no per-branch BN
-buffers).
+Scope: AlexNet/ResNet models, CIFAR and ImageNet stems (for the latter the
+reference wraps the ResNet stem in an nn.Sequential with the maxpool, so
+'convbnrelu_1/*' exports as 'convbnrelu_1.0.*' — resnet_passport_private.py:
+96-99). separate_stats models cannot be exported (the reference has no
+per-branch BN buffers).
 """
 
 from __future__ import annotations
@@ -79,6 +81,17 @@ def export_torch_state_dict(model, variables: Dict) -> Dict[str, Any]:
     key_suffix = "_private" if private else ""
     sign_loss_name = "sign_loss_private" if private else "sign_loss"
     passport_mods = {p.rsplit("/", 1)[0] for p in passports}
+    # imagenet ResNet stems live inside an nn.Sequential with the maxpool
+    imagenet_stem = (
+        hasattr(model, "block_cls")
+        and (getattr(model, "imagenet", False) or model.num_classes == 1000)
+    )
+
+    def tmod_of(mod: str) -> str:
+        t = _torch_mod(mod)
+        if imagenet_stem and mod.split("/")[0] == "convbnrelu_1":
+            t = "convbnrelu_1.0" + t[len("convbnrelu_1"):]
+        return t
 
     def t(a, dtype=torch.float32):
         return torch.as_tensor(np.array(a, np.float32, copy=True), dtype=dtype)
@@ -86,13 +99,13 @@ def export_torch_state_dict(model, variables: Dict) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for path, v in params.items():
         mod, leaf = path.rsplit("/", 1)
-        tmod = _torch_mod(mod)
+        tmod = tmod_of(mod)
         if leaf == "kernel" and mod.endswith("/conv"):
             w = np.asarray(v, np.float32).transpose(3, 2, 0, 1)
             out[f"{tmod}.weight"] = t(w)
             block = mod[: -len("/conv")]
             if block in passport_mods:  # self.weight = self.conv.weight alias
-                out[f"{_torch_mod(block)}.weight"] = t(w)
+                out[f"{tmod_of(block)}.weight"] = t(w)
         elif leaf == "bias" and mod.endswith("/conv"):
             out[f"{tmod}.bias"] = t(v)
         elif mod.endswith("/bn") and leaf in ("scale", "bias"):
@@ -107,12 +120,11 @@ def export_torch_state_dict(model, variables: Dict) -> Dict[str, Any]:
                 w = _hwc_to_chw_columns(w, chw)
             out[f"{tmod}.weight"] = t(w)
         else:
-            raise ValueError(f"unmapped param {path} (imagenet-stem models "
-                             "are out of the exporter's scope)")
+            raise ValueError(f"unmapped param {path}")
 
     for path, v in stats.items():
         mod, leaf = path.rsplit("/", 1)
-        tmod = _torch_mod(mod)
+        tmod = tmod_of(mod)
         name = "running_mean" if leaf == "mean" else "running_var"
         out[f"{tmod}.{name}"] = t(v)
         out[f"{tmod}.num_batches_tracked"] = torch.zeros((), dtype=torch.int64)
@@ -120,11 +132,11 @@ def export_torch_state_dict(model, variables: Dict) -> Dict[str, Any]:
     for path, v in passports.items():
         mod, leaf = path.rsplit("/", 1)  # leaf in (key, skey)
         chw = np.asarray(v, np.float32).transpose(0, 3, 1, 2)
-        out[f"{_torch_mod(mod)}.{leaf}{key_suffix}"] = t(chw)
+        out[f"{tmod_of(mod)}.{leaf}{key_suffix}"] = t(chw)
 
     for path, v in signatures.items():
         mod, _ = path.rsplit("/", 1)
-        tmod = _torch_mod(mod)
+        tmod = tmod_of(mod)
         out[f"{tmod}.b"] = t(v)
         out[f"{tmod}.{sign_loss_name}.b"] = t(v)
 

@@ -159,6 +159,40 @@ class TestV1Export:
 
 
 class TestResNetExport:
+    def test_imagenet_stem_loads_and_reproduces(self, ref):
+        """ImageNet-stem export: the stem rides inside the reference's
+        nn.Sequential (convbnrelu_1.0.*, resnet_passport_private.py:96-99)."""
+        from deepipr_tpu.utils.config import load_passport_config
+
+        cfg = load_passport_config("passport_configs/resnet18_passport.json")
+        kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        model = ResNet18(num_classes=10, passport_kwargs=kw, private=True,
+                         imagenet=True)
+        variables = dict(model.init(RNGS, jnp.zeros((2, 64, 64, 3)),
+                                    train=True))
+        x = jnp.asarray(
+            np.random.default_rng(4).standard_normal((2, 64, 64, 3)),
+            jnp.float32)
+        _, upd = model.apply(variables, x, ind=0, train=True,
+                             mutable=["batch_stats", "passport_aux"])
+        variables["batch_stats"] = upd["batch_stats"]
+
+        sd = export_torch_state_dict(model, variables)
+        tmodel = ref["resnet_private"](num_classes=10, passport_kwargs=kw,
+                                       imagenet=True)
+        missing, unexpected = tmodel.load_state_dict(sd, strict=True)
+        assert not missing and not unexpected
+        tmodel.eval()
+        xe = np.random.default_rng(8).standard_normal((2, 64, 64, 3)).astype(np.float32)
+        for ind in (0, 1):
+            ours = np.asarray(model.apply(variables, jnp.asarray(xe), ind=ind,
+                                          train=False))
+            with torch.no_grad():
+                theirs = tmodel(torch.from_numpy(
+                    np.ascontiguousarray(xe.transpose(0, 3, 1, 2))),
+                    ind=ind).numpy()
+            np.testing.assert_allclose(theirs, ours, rtol=1e-3, atol=3e-4)
+
     def test_reference_loads_and_reproduces(self, ref):
         from deepipr_tpu.utils.config import load_passport_config
 
