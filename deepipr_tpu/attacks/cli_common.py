@@ -36,6 +36,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--tagnum", default=1, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--data-root", default="data")
+    p.add_argument("--separate-stats", action="store_true",
+                   help="the attacked checkpoint was trained with per-branch "
+                        "BN stats (train CLI --separate-stats)")
     return p
 
 
@@ -56,6 +59,10 @@ def load_attacked_model(args, learnable_affine: bool = False):
     passport_kwargs, plkeys = construct_passport_kwargs(
         cfg, args.norm_type, "shuffle", 0.1
     )
+    if getattr(args, "separate_stats", False):
+        from deepipr_tpu.train.experiment import _mark_separate_stats
+
+        _mark_separate_stats(passport_kwargs)
     private = args.scheme != 1
     nclass = nclass_for(args.dataset)
     size = 224 if args.dataset == "imagenet1000" else 32
