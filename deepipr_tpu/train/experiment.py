@@ -466,10 +466,27 @@ class ClassificationExperiment(Experiment):
             return {}
         return self.signature_fn(self.state)
 
-    def save_model(self, name: str):
-        save_state(os.path.join(self.logdir, "models", name), self.state)
+    def save_model(self, name: str, asynchronous: bool = False):
+        """asynchronous=True snapshots on device and writes from a worker
+        thread (utils/checkpoint.py::AsyncCheckpointer) — on the relay the
+        D2H fetch costs seconds and dominated scanned-epoch training."""
+        path = os.path.join(self.logdir, "models", name)
+        if asynchronous:
+            if not hasattr(self, "_async_ckpt"):
+                from deepipr_tpu.utils.checkpoint import AsyncCheckpointer
+
+                self._async_ckpt = AsyncCheckpointer()
+            self._async_ckpt.save(path, self.state)
+        else:
+            self._flush_saves()
+            save_state(path, self.state)
+
+    def _flush_saves(self):
+        if hasattr(self, "_async_ckpt"):
+            self._async_ckpt.flush()
 
     def load_model(self, name_or_path: str):
+        self._flush_saves()
         path = (
             name_or_path
             if os.path.exists(name_or_path)
@@ -535,11 +552,18 @@ class ClassificationExperiment(Experiment):
             print(line)
 
             if self.save_interval and ep % self.save_interval == 0:
-                self.save_model(f"epoch-{ep}.ckpt")
+                self.save_model(f"epoch-{ep}.ckpt", asynchronous=True)
             if crit > best:
                 best = crit
-                self.save_model("best.ckpt")
-            self.save_model("last.ckpt")
+                self.save_model("best.ckpt", asynchronous=True)
+            # --ckpt-every throttles the per-epoch last.ckpt: on a
+            # relay-attached chip the ~seconds-long state fetch dominates
+            # sub-second scanned epochs (default 1 = reference cadence,
+            # classification.py:295-303)
+            every = int(self.args.get("ckpt_every") or 1)
+            if ep % every == 0 or ep == self.epochs:
+                self.save_model("last.ckpt", asynchronous=True)
+        self._flush_saves()
         return best
 
     def evaluate_only(self):

@@ -9,6 +9,7 @@ optimizer state, and step counter.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any
 
 import flax.serialization
@@ -16,11 +17,60 @@ import jax
 
 
 def save_state(path: str, state: Any) -> None:
+    """Atomic write: serialize to path.tmp, fsync, rename — a crash mid-save
+    never corrupts the previous checkpoint."""
     if os.path.dirname(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
     host_state = jax.device_get(state)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(host_state))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint D2H + disk write with the next epoch's compute.
+
+    On a relay-attached chip fetching the full train state costs seconds —
+    with best+last saved every epoch that dominated short epochs. save()
+    snapshots the state ON DEVICE (cheap copy, safe against the train step's
+    buffer donation) and hands the fetch+write to a single worker thread;
+    at most one save is in flight, so a fast producer can at worst wait for
+    the previous write. Call flush() before reading checkpoints back or
+    exiting.
+    """
+
+    def __init__(self):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._error = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            path, snap = self._q.get()
+            try:
+                save_state(path, snap)
+            except BaseException as e:  # surfaced on the next flush()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def save(self, path: str, state: Any) -> None:
+        snap = jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, state)
+        self._q.put((path, snap))
+
+    def flush(self) -> None:
+        """Block until all queued saves hit disk; re-raise any save error."""
+        self._q.join()
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
 
 
 def load_state(path: str, template: Any, restore_opt: bool = True) -> Any:

@@ -91,3 +91,62 @@ def test_weights_only_load_across_optimizer_shapes(tmp_path):
     jax.tree.map(np.testing.assert_array_equal, restored.params, trained.params)
     # and the optimizer still steps
     restored.apply_gradients(jax.tree.map(jnp.zeros_like, restored.params))
+
+
+def test_async_checkpointer_matches_sync(tmp_path):
+    from deepipr_tpu.utils.checkpoint import AsyncCheckpointer
+
+    model, state = _trained_state()
+    sync_path = str(tmp_path / "sync.ckpt")
+    async_path = str(tmp_path / "async.ckpt")
+    save_state(sync_path, state)
+    ck = AsyncCheckpointer()
+    ck.save(async_path, state)
+    ck.flush()
+    assert open(sync_path, "rb").read() == open(async_path, "rb").read()
+    restored = load_state(async_path, state)
+    _assert_states_equal(state, restored)
+
+
+def test_async_snapshot_survives_donation(tmp_path):
+    """The snapshot is taken before the next train step donates (deletes)
+    the state buffers — the background write must still see the old state."""
+    from deepipr_tpu.utils.checkpoint import AsyncCheckpointer
+
+    model, state = _trained_state()
+    want_step = int(state.step)
+    ck = AsyncCheckpointer()
+    path = str(tmp_path / "pre.ckpt")
+    ck.save(path, state)
+    step = make_train_step(model, private=True)
+    x = jnp.ones((4, 16, 16, 3))
+    state2, _ = step(state, {"image": x, "label": jnp.zeros(4, jnp.int32)})
+    ck.flush()
+    restored = load_state(path, state2)
+    assert int(restored.step) == want_step == int(state2.step) - 1
+
+
+def test_async_flush_raises_save_errors(tmp_path):
+    from deepipr_tpu.utils.checkpoint import AsyncCheckpointer
+
+    _, state = _trained_state()
+    ck = AsyncCheckpointer()
+    bad_dir = tmp_path / "f"
+    bad_dir.write_text("a file, not a dir")
+    ck.save(str(bad_dir / "x.ckpt"), state)
+    import pytest
+
+    with pytest.raises(Exception):
+        ck.flush()
+    # the checkpointer stays usable after an error
+    good = str(tmp_path / "ok.ckpt")
+    ck.save(good, state)
+    ck.flush()
+    assert os.path.exists(good)
+
+
+def test_save_is_atomic_no_tmp_left(tmp_path):
+    _, state = _trained_state()
+    p = str(tmp_path / "a.ckpt")
+    save_state(p, state)
+    assert os.path.exists(p) and not os.path.exists(p + ".tmp")

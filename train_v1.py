@@ -71,6 +71,10 @@ def build_parser():
                         "on-device augmentation (single-chip, in-memory "
                         "datasets; ~2x end-to-end vs per-step dispatch on "
                         "transfer-bound hosts)")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save last.ckpt every N epochs (default 1 = the "
+                        "reference's cadence; raise on hosts where the "
+                        "checkpoint fetch outweighs an epoch)")
     p.add_argument("--profile", action="store_true", default=False,
                    help="capture a jax.profiler trace of epoch 1 into logdir")
     p.add_argument("--resume", help="full-train-state checkpoint to resume from")
