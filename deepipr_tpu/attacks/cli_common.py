@@ -60,9 +60,9 @@ def load_attacked_model(args, learnable_affine: bool = False):
         cfg, args.norm_type, "shuffle", 0.1
     )
     if getattr(args, "separate_stats", False):
-        from deepipr_tpu.train.experiment import _mark_separate_stats
+        from deepipr_tpu.utils.config import mark_separate_stats
 
-        _mark_separate_stats(passport_kwargs)
+        mark_separate_stats(passport_kwargs)
     private = args.scheme != 1
     nclass = nclass_for(args.dataset)
     size = 224 if args.dataset == "imagenet1000" else 32

@@ -185,28 +185,32 @@ def make_ensemble_epoch_fn(
     (train/epoch.py composed with the ensemble vmap). One dispatch advances
     every member through a full epoch — zero per-step H2D or dispatch.
 
-    All members see the same shuffled data stream and augmentation draws
-    (the per-step rng keys off state.step, identical across members);
-    params/passports/signatures stay per-member.
+    All members see the same shuffled data stream and augmentation draws;
+    the batch is augmented ONCE per step (keyed off the members' common
+    step counter — members stacked by init_ensemble are in lockstep) and
+    the plain step vmaps over it, so the fleet pays 1x augmentation, not N.
+    Params/passports/signatures stay per-member. V2 scope; V3 trigger
+    fleets use the per-step path.
     """
     from deepipr_tpu.data.device_augment import make_device_augment
+    from deepipr_tpu.train.epoch import epoch_permutation
 
     aug = make_device_augment(pad, random_crop=random_crop,
                               out_dtype=out_dtype)
-    raw_step = make_train_step(model, private, device_augment=aug, jit=False)
+    raw_step = make_train_step(model, private, jit=False)
     vstep = jax.vmap(raw_step, in_axes=(0, None))
 
     def epoch_fn(ensemble: TrainState, images_u8, labels, epoch_key):
-        n = images_u8.shape[0]
-        steps = n // batch_size
-        if steps == 0:
-            raise ValueError(
-                f"batch_size {batch_size} exceeds the dataset ({n} images)")
-        perm = jax.random.permutation(epoch_key, n)
-        perm = perm[: steps * batch_size].reshape(steps, batch_size)
+        steps, perm = epoch_permutation(epoch_key, images_u8.shape[0],
+                                        batch_size)
 
         def body(ens, idx):
-            return vstep(ens, {"image": images_u8[idx], "label": labels[idx]})
+            # same key derivation as the per-step path's in-step augment
+            # (steps.py: fold_in(key(1), state.step)), taken from member 0's
+            # counter so the draw matches each member's own
+            key = jax.random.fold_in(jax.random.key(1), ens.step[0])
+            x = aug(key, images_u8[idx])
+            return vstep(ens, {"image": x, "label": labels[idx]})
 
         ensemble, metrics = jax.lax.scan(body, ensemble, perm)
         # mean over steps, keep the member axis: {metric: (N,)}

@@ -37,6 +37,17 @@ from deepipr_tpu.train.state import TrainState
 from deepipr_tpu.train.steps import make_train_step
 
 
+def epoch_permutation(epoch_key, n: int, batch_size: int):
+    """(steps, (steps, batch_size) index array) for one shuffled epoch with
+    drop_last semantics — shared by the single-model and ensemble scans."""
+    steps = n // batch_size
+    if steps == 0:
+        raise ValueError(f"batch_size {batch_size} exceeds the dataset "
+                         f"({n} images)")
+    perm = jax.random.permutation(epoch_key, n)
+    return steps, perm[: steps * batch_size].reshape(steps, batch_size)
+
+
 def make_epoch_train_fn(
     model,
     private: bool,
@@ -71,20 +82,23 @@ def make_epoch_train_fn(
         wm_images_u8: Optional[jax.Array] = None,
         wm_labels: Optional[jax.Array] = None,
     ):
-        n = images_u8.shape[0]
-        steps = n // batch_size
-        if steps == 0:
-            raise ValueError(
-                f"batch_size {batch_size} exceeds the dataset ({n} images)")
-        perm = jax.random.permutation(epoch_key, n)
-        perm = perm[: steps * batch_size].reshape(steps, batch_size)
+        steps, perm = epoch_permutation(epoch_key, images_u8.shape[0],
+                                        batch_size)
+        wm_perm = None
+        if wm_images_u8 is not None:
+            # fresh per-epoch shuffle of the trigger set, cycled across the
+            # epoch — matches the per-step path's reshuffled CyclingIterator
+            # (every trigger trains over epochs even when one epoch's
+            # steps*wm_batch < len(trigger set))
+            wm_perm = jax.random.permutation(
+                jax.random.fold_in(epoch_key, 1), wm_images_u8.shape[0])
 
         def body(state, args):
             t, idx = args
             batch = {"image": images_u8[idx], "label": labels[idx]}
             if wm_images_u8 is not None:
                 m = wm_images_u8.shape[0]
-                wm_idx = (t * wm_batch + jnp.arange(wm_batch)) % m
+                wm_idx = wm_perm[(t * wm_batch + jnp.arange(wm_batch)) % m]
                 batch["wm_image"] = wm_images_u8[wm_idx]
                 batch["wm_label"] = wm_labels[wm_idx]
             return raw_step(state, batch)

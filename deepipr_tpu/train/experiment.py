@@ -49,20 +49,19 @@ from deepipr_tpu.train.steps import (
     run_eval,
 )
 from deepipr_tpu.utils.checkpoint import load_state, save_state
-from deepipr_tpu.utils.config import construct_passport_kwargs
+from deepipr_tpu.utils.config import (
+    construct_passport_kwargs,
+    mark_separate_stats,
+)
 
 
 class TrainingDiverged(RuntimeError):
     """Raised by the per-epoch finiteness guard (failure detection)."""
 
 
-def _mark_separate_stats(kwargs: Dict):
-    for v in kwargs.values():
-        if isinstance(v, dict) and "flag" in v:
-            if v["flag"]:
-                v["separate_stats"] = True
-        elif isinstance(v, dict):
-            _mark_separate_stats(v)
+# backward alias; the implementation lives beside the other passport-kwargs
+# helpers in utils/config.py
+_mark_separate_stats = mark_separate_stats
 
 
 def derive_scheme(args: Dict) -> int:
@@ -281,11 +280,13 @@ class ClassificationExperiment(Experiment):
                 make_epoch_train_fn,
             )
 
+            self._wm_batch = 2  # reference trigger batch (dataset.py:188-191)
             self.epoch_fn = make_epoch_train_fn(
                 self.model, self.private, self.batch_size,
                 pad=int((4 / 32) * self.imgcrop),
                 out_dtype=jnp.bfloat16 if self.args.get("bf16")
                 else jnp.float32,
+                wm_batch=self._wm_batch,
             )
             self._resident = device_resident(
                 self.train_data.images, self.train_data.labels)
@@ -421,7 +422,7 @@ class ClassificationExperiment(Experiment):
             steps = len(self._resident[1]) // self.batch_size
             images = steps * self.batch_size
             if self._resident_wm:
-                images += steps * 2
+                images += steps * self._wm_batch
             out["time"] = time.time() - t0
             out["images_per_sec"] = images / max(out["time"], 1e-9)
             return out

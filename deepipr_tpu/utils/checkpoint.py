@@ -36,16 +36,16 @@ class AsyncCheckpointer:
     On a relay-attached chip fetching the full train state costs seconds —
     with best+last saved every epoch that dominated short epochs. save()
     snapshots the state ON DEVICE (cheap copy, safe against the train step's
-    buffer donation) and hands the fetch+write to a single worker thread;
-    at most one save is in flight, so a fast producer can at worst wait for
-    the previous write. Call flush() before reading checkpoints back or
-    exiting.
+    buffer donation) and hands the fetch+write to a single worker thread.
+    The queue is BOUNDED (a few snapshots): a producer faster than the
+    writer blocks instead of piling full-state device copies into memory.
+    Call flush() before reading checkpoints back or exiting.
     """
 
-    def __init__(self):
+    def __init__(self, max_pending: int = 3):
         import queue
 
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._error = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()

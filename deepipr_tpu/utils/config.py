@@ -74,3 +74,14 @@ def load_lr_config(path: str) -> Dict[str, Any]:
     means constant LR (reference: experiments/classification.py:52-57)."""
     with open(path) as f:
         return json.load(f)
+
+def mark_separate_stats(kwargs):
+    """Flag every passport layer's kwargs for per-branch BN statistics (the
+    DeepIPR variant beyond the reference's shared affine-free norm,
+    passportconv2d_private.py:56-64) — applied by the --separate-stats CLIs."""
+    for v in kwargs.values():
+        if isinstance(v, dict) and "flag" in v:
+            if v["flag"]:
+                v["separate_stats"] = True
+        elif isinstance(v, dict):
+            mark_separate_stats(v)

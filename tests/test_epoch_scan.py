@@ -78,10 +78,14 @@ class TestEpochScan:
         aug = make_device_augment(pad)
         step = make_train_step(model, True, device_augment=aug)
         perm = np.asarray(jax.random.permutation(key, len(x)))
+        # the scan shuffles the trigger set per epoch then cycles it, so
+        # every trigger trains over epochs even with few steps per epoch
+        wm_perm = np.asarray(jax.random.permutation(
+            jax.random.fold_in(key, 1), len(wm_x)))
         s_loop = jax.tree.map(jnp.asarray, host)
         for t in range(len(x) // bs):
             idx = perm[t * bs:(t + 1) * bs]
-            wm_idx = (t * 2 + np.arange(2)) % len(wm_x)
+            wm_idx = wm_perm[(t * 2 + np.arange(2)) % len(wm_x)]
             s_loop, _ = step(s_loop, {
                 "image": jnp.asarray(x[idx]), "label": jnp.asarray(y[idx]),
                 "wm_image": jnp.asarray(wm_x[wm_idx]),

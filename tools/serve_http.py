@@ -42,9 +42,9 @@ def build_predictor(args):
         cfg = json.load(open(args.passport_config))
         kw, _ = construct_passport_kwargs(cfg, args.norm_type, "shuffle", 0.1)
         if args.separate_stats:
-            from deepipr_tpu.train.experiment import _mark_separate_stats
+            from deepipr_tpu.utils.config import mark_separate_stats
 
-            _mark_separate_stats(kw)
+            mark_separate_stats(kw)
     private = kw is not None and args.private
     model = build_model(args.arch, args.num_classes, args.norm_type,
                         passport_kwargs=kw, private=private)
@@ -59,10 +59,12 @@ def build_predictor(args):
 class _Server(ThreadingHTTPServer):
     daemon_threads = True
 
-    def __init__(self, addr, predictor, info, batch_sizes=(1, 8, 64, 256)):
+    def __init__(self, addr, predictor, info, image_shape,
+                 batch_sizes=(1, 8, 64, 256)):
         super().__init__(addr, _Handler)
         self.predictor = predictor
         self.info = info
+        self.image_shape = tuple(image_shape)
         self.batch_sizes = sorted(batch_sizes)
 
 
@@ -88,26 +90,44 @@ class _Handler(BaseHTTPRequestHandler):
 
         if self.path != "/predict":
             return self._json(404, {"error": "unknown path"})
+        want = self.server.image_shape  # (H, W, C) the model was warmed for
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n))
             x = np.asarray(req["images"], np.float32)
             if x.ndim == 3:
                 x = x[None]
-            if x.max() > 8.0:  # uint8-range input -> normalize
+            if x.ndim == 4 and len(x) > self.server.batch_sizes[-1]:
+                return self._json(413, {
+                    "error": f"batch > {self.server.batch_sizes[-1]}"})
+            if x.ndim != 4 or x.shape[1:] != want:
+                return self._json(400, {
+                    "error": f"images must be (N,{','.join(map(str, want))})"
+                             f" or ({','.join(map(str, want))}), got "
+                             f"{list(x.shape)}"})
+            # "normalized": true skips normalization explicitly; otherwise
+            # uint8-range input (values outside plausible normalized range)
+            # is normalized — send the flag for ambiguous (dark) images
+            normalized = req.get("normalized")
+            if normalized is None:
+                normalized = x.max() <= 8.0
+            if not normalized:
                 from deepipr_tpu.data.datasets import normalize
 
-                x = normalize(x.astype(np.uint8))
+                x = normalize(np.clip(x, 0, 255).astype(np.uint8))
         except Exception as e:
             return self._json(400, {"error": f"bad request: {e}"})
         sizes = self.server.batch_sizes
         if len(x) > sizes[-1]:
             return self._json(413, {"error": f"batch > {sizes[-1]}"})
-        padded = next(s for s in sizes if s >= len(x))
-        xp = np.zeros((padded,) + x.shape[1:], np.float32)
-        xp[: len(x)] = x
-        t0 = time.time()
-        classes = np.asarray(self.server.predictor.predict(xp))[: len(x)]
+        try:
+            padded = next(s for s in sizes if s >= len(x))
+            xp = np.zeros((padded,) + x.shape[1:], np.float32)
+            xp[: len(x)] = x
+            t0 = time.time()
+            classes = np.asarray(self.server.predictor.predict(xp))[: len(x)]
+        except Exception as e:
+            return self._json(500, {"error": f"inference failed: {e}"})
         self._json(200, {
             "classes": classes.tolist(),
             "latency_ms": round((time.time() - t0) * 1e3, 2),
@@ -117,8 +137,10 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(args, port=0):
     predictor = build_predictor(args)
     info = {"arch": args.arch, "folded": args.folded,
-            "num_classes": args.num_classes}
-    srv = _Server(("127.0.0.1", port), predictor, info)
+            "num_classes": args.num_classes,
+            "image_shape": [args.imgcrop, args.imgcrop, 3]}
+    srv = _Server(("127.0.0.1", port), predictor, info,
+                  (args.imgcrop, args.imgcrop, 3))
     # warm every batch size so serving never compiles on the request path;
     # np.asarray FORCES completion (on relayed platforms the compile only
     # finishes when a result is materialized)

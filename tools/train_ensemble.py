@@ -94,9 +94,9 @@ def main():
     kw, _ = construct_passport_kwargs(cfg, args.norm_type, args.key_type,
                                       args.sign_loss)
     if args.separate_stats:
-        from deepipr_tpu.train.experiment import _mark_separate_stats
+        from deepipr_tpu.utils.config import mark_separate_stats
 
-        _mark_separate_stats(kw)
+        mark_separate_stats(kw)
     model = build_model(args.arch, nclass, args.norm_type,
                         passport_kwargs=kw, private=True)
     size = xtr.shape[1]

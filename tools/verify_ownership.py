@@ -60,9 +60,9 @@ def main():
     kw, _ = construct_passport_kwargs(cfg, args.norm_type, args.key_type,
                                       args.sign_loss)
     if args.separate_stats:
-        from deepipr_tpu.train.experiment import _mark_separate_stats
+        from deepipr_tpu.utils.config import mark_separate_stats
 
-        _mark_separate_stats(kw)
+        mark_separate_stats(kw)
     model = build_model(args.arch, args.num_classes, args.norm_type,
                         passport_kwargs=kw, private=args.private)
     shape = (1, args.imgcrop, args.imgcrop, 3)
