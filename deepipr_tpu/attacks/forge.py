@@ -1,0 +1,148 @@
+"""Passport forgery against the DEPLOYED model — a beyond-reference attack.
+
+Threat model, stronger than the reference's attack 3 (which perturbs the
+OWNER's leaked passports, passport_attack_3.py:236-243): the attacker holds
+only the deployed V2 model — conv kernels, BN stats, and the public branch's
+learned scale/bias — and NO passports. They forge fresh passports from
+scratch such that the derived private-branch affines reproduce the public
+affines, except on a chosen fraction of channels whose signs are flipped to
+embed the ATTACKER's signature. No training data is needed: the loss is a
+regression on the derived affines themselves (the direction explored by
+"Effective Ambiguity Attack ... through Fully Connected Layer Substitution",
+arXiv:2303.11595 — this implementation is designed independently from the
+title's threat model).
+
+The interesting output is the AMBIGUITY TRADEOFF CURVE: at flip fraction 0
+the forged passport reproduces the public branch exactly but can only claim
+the unremarkable signature sign(public_scale); embedding a distinctive
+signature means flipping channels, and every flipped sign costs private-
+branch accuracy. Sweeping the fraction quantifies how much identity an
+attacker can embed before the model stops working — the scheme's central
+robustness claim, measured end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepipr_tpu.train.steps import collect_aux_with_paths
+
+
+def _derived(model, variables, x, private: bool):
+    kwargs = {"ind": 1} if private else {"force_passport": True}
+    _, upd = model.apply(
+        dict(variables), x, train=False,
+        mutable=["passport_aux", "batch_stats"], **kwargs,
+    )
+    return dict(collect_aux_with_paths(upd))
+
+
+def forge_targets(
+    model, state, input_shape, flipperc: float, seed: int,
+    private: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Attacker's target affines: the PUBLIC branch's learned scale/bias,
+    with `flipperc` of each layer's scale signs flipped to carry the
+    attacker's identity. Returns ({path: {scale, bias}}, {path: b})."""
+    pub_scale = {}
+    for path, aux in _derived(model, state.model_variables(), jnp.zeros(input_shape), private).items():
+        params = state.params
+        node = params
+        for seg in path.split("/"):
+            node = node[seg]
+        pub_scale[path] = {
+            "scale": np.asarray(node["scale"]).reshape(-1),
+            "bias": np.asarray(node["bias"]).reshape(-1),
+        }
+    rng = np.random.default_rng(seed)
+    targets, bs = {}, {}
+    for path, sb in pub_scale.items():
+        scale = sb["scale"].copy()
+        k = int(scale.size * flipperc)
+        idx = rng.choice(scale.size, k, replace=False)
+        scale[idx] *= -1.0
+        targets[path] = {"scale": jnp.asarray(scale),
+                         "bias": jnp.asarray(sb["bias"])}
+        bs[path] = jnp.asarray(np.sign(scale) + (scale == 0))
+    return targets, bs
+
+
+def forge_attack(
+    model,
+    state,
+    input_shape,
+    flipperc: float = 0.0,
+    steps: int = 300,
+    lr: float = 0.05,
+    seed: int = 0,
+    private: bool = True,
+    log_every: int = 50,
+) -> Tuple[Dict, Dict, List[Dict]]:
+    """Optimize fresh random passports so derived affines hit the forged
+    targets. Returns (forged_passports, attacker_signature, history)."""
+    targets, attacker_b = forge_targets(
+        model, state, input_shape, flipperc, seed, private)
+
+    # fresh random passports — the attacker has no originals to start from
+    leaves, treedef = jax.tree.flatten(jax.device_get(state.passport))
+    rngs = jax.random.split(jax.random.key(seed + 1), len(leaves))
+    fake_pp = jax.tree.unflatten(
+        treedef,
+        [jax.random.uniform(r, np.shape(l), jnp.float32, -1.0, 1.0)
+         for l, r in zip(leaves, rngs)],
+    )
+
+    base_vars = state.model_variables()
+    x0 = jnp.zeros(input_shape, jnp.float32)
+
+    def loss_fn(pp):
+        affs = _derived(model, {**base_vars, "passport": pp}, x0, private)
+        loss = jnp.float32(0.0)
+        sign_ok = total = 0.0
+        for path, aux in affs.items():
+            t = targets[path]
+            s = aux["scale"].reshape(-1)
+            loss += jnp.mean((s - t["scale"]) ** 2)
+            loss += jnp.mean((aux["bias"].reshape(-1) - t["bias"]) ** 2)
+            sign_ok += jnp.sum(jnp.sign(s) == jnp.sign(t["scale"]))
+            total += s.size
+        return loss, sign_ok / total
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(fake_pp)
+
+    @jax.jit
+    def step(pp, opt_state):
+        (loss, sacc), grads = jax.value_and_grad(loss_fn, has_aux=True)(pp)
+        updates, opt_state = tx.update(grads, opt_state, pp)
+        return optax.apply_updates(pp, updates), opt_state, loss, sacc
+
+    history: List[Dict] = []
+    for t in range(1, steps + 1):
+        fake_pp, opt_state, loss, sacc = step(fake_pp, opt_state)
+        if t % log_every == 0 or t == steps:
+            history.append({"step": t, "flipperc": flipperc,
+                            "mse": float(loss), "sign_acc": float(sacc)})
+    return jax.device_get(fake_pp), attacker_b, history
+
+
+def forged_signature_accuracy(
+    model, state, forged_pp: Dict, attacker_b: Dict, input_shape,
+    private: bool = True,
+) -> float:
+    """Mean sign agreement of the forged passports' derived scales with the
+    ATTACKER's signature — the counterfeit evidence's quality."""
+    affs = _derived(
+        model, {**state.model_variables(), "passport": forged_pp},
+        jnp.zeros(input_shape), private)
+    ok = tot = 0.0
+    for path, aux in affs.items():
+        s = np.sign(np.asarray(aux["scale"]).reshape(-1))
+        ok += float((s == np.asarray(attacker_b[path])).sum())
+        tot += s.size
+    return ok / tot

@@ -147,3 +147,63 @@ class TestReverse:
         assert 0 < hist[0]["similarity"] < 1
         # affine-only retraining improves over the flipped starting point
         assert hist[-1]["valid_acc"] >= hist[0]["valid_acc"]
+
+
+class TestForge:
+    """Deployment-time forgery (attacks/forge.py): forge passports from
+    scratch against the stolen model — the ambiguity tradeoff curve."""
+
+    def test_zero_flip_recovers_public_behavior(self, trained):
+        from deepipr_tpu.attacks.forge import (
+            forge_attack,
+            forged_signature_accuracy,
+        )
+        from deepipr_tpu.train.steps import make_eval_step, run_eval
+
+        model, state, _, valid_dl, _ = trained
+        forged_pp, attacker_b, hist = forge_attack(
+            model, state, SHAPE, flipperc=0.0, steps=200, seed=3)
+        # the regression converges and the forged evidence is self-consistent
+        assert hist[-1]["mse"] < 1e-2
+        sig = forged_signature_accuracy(
+            model, state, forged_pp, attacker_b, SHAPE)
+        assert sig > 0.97
+        # private branch with forged passports ~= public branch accuracy
+        pub = run_eval(make_eval_step(model, ind=0), state, valid_dl)
+        forged = run_eval(make_eval_step(model, ind=1), 
+                          state.replace(passport=forged_pp), valid_dl)
+        assert forged["acc"] > pub["acc"] - 10.0
+
+    def test_large_flip_costs_accuracy(self, trained):
+        from deepipr_tpu.attacks.forge import forge_attack
+        from deepipr_tpu.train.steps import make_eval_step, run_eval
+
+        model, state, _, valid_dl, _ = trained
+        eval1 = make_eval_step(model, ind=1)
+        accs = {}
+        for perc in (0.0, 1.0):
+            forged_pp, _, _ = forge_attack(
+                model, state, SHAPE, flipperc=perc, steps=200, seed=3)
+            accs[perc] = run_eval(
+                eval1, state.replace(passport=forged_pp), valid_dl)["acc"]
+        # embedding a fully-chosen signature costs real accuracy — the
+        # scheme's ambiguity defense
+        assert accs[1.0] < accs[0.0] - 15.0, accs
+
+    def test_owner_signature_not_reproduced(self, trained):
+        """The forged passports claim the ATTACKER's signature, not the
+        owner's — detection against the owner's b stays near chance."""
+        from deepipr_tpu.attacks.forge import forge_attack
+        from deepipr_tpu.passport.codec import bit_accuracy
+        from deepipr_tpu.attacks.common import derived_affines
+
+        model, state, _, _, _ = trained
+        forged_pp, _, _ = forge_attack(
+            model, state, SHAPE, flipperc=0.0, steps=200, seed=3)
+        affs = derived_affines(
+            model, {**state.model_variables(), "passport": forged_pp},
+            SHAPE, private=True)
+        rates = [float(bit_accuracy(a["scale"], 
+                                    state.signature[p]["b"]))
+                 for p, a in affs.items()]
+        assert np.mean(rates) < 0.85  # not the owner's signature
