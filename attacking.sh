@@ -15,3 +15,7 @@ python passport_attack_2.py --arch $ARCH --scheme $SCHEME --loadpath $CKPT \
   --passport-config $CFG --flipperc 0.0
 python passport_attack_3.py --arch $ARCH --scheme $SCHEME --loadpath $CKPT \
   --passport-config $CFG --flipperc 0.0
+# beyond the reference: forge passports for the stolen model from scratch
+# (no original passports, no data) and sweep the ambiguity tradeoff
+python passport_forge_attack.py --arch $ARCH --scheme $SCHEME --loadpath $CKPT \
+  --passport-config $CFG

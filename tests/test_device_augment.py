@@ -205,6 +205,31 @@ def test_experiment_epoch_scan_smoke(tmp_path):
     assert "train_sign_acc" in hist
 
 
+def test_ckpt_every_throttles_last_but_saves_final(tmp_path):
+    """--ckpt-every N skips intermediate last.ckpt writes but the final
+    epoch always lands one, and best.ckpt still tracks improvement."""
+    import os
+
+    from deepipr_tpu.train.experiment import ClassificationExperiment
+
+    args = {
+        "arch": "alexnet", "dataset": "synthetic", "batch_size": 32,
+        "epochs": 3, "lr": 0.01, "norm_type": "bn", "key_type": "random",
+        "sign_loss": 0.1, "train_passport": True, "train_backdoor": False,
+        "train_private": False, "lr_config": "lr_configs/default.json",
+        "passport_config": "passport_configs/alexnet_passport.json",
+        "logdir": str(tmp_path), "epoch_scan": True, "use_mesh": False,
+        "ckpt_every": 10, "synthetic_train": 128, "synthetic_test": 64,
+    }
+    exp = ClassificationExperiment(args)
+    exp.makedirs_or_load()
+    exp.training()
+    models = os.path.join(exp.logdir, "models")
+    assert os.path.exists(os.path.join(models, "last.ckpt"))  # final epoch
+    assert os.path.exists(os.path.join(models, "best.ckpt"))
+    assert not os.path.exists(os.path.join(models, "last.ckpt.tmp"))
+
+
 def test_epoch_scan_falls_back_on_multidevice_mesh(tmp_path):
     from deepipr_tpu.train.experiment import ClassificationExperiment
 
