@@ -25,13 +25,31 @@ def main():
     p.add_argument("--steps", type=int, default=300,
                    help="forgery optimization steps per fraction")
     p.add_argument("--forge-lr", type=float, default=0.05)
+    p.add_argument("--refine-epochs", type=int, default=0,
+                   help="data-assisted escalation: fine-tune each forgery "
+                        "with CE + sign loss for this many epochs over the "
+                        "train loader")
+    p.add_argument("--refine-data-frac", type=float, default=1.0,
+                   help="fraction of the train set the attacker holds")
     args = p.parse_args()
 
-    from deepipr_tpu.attacks.forge import forge_attack, forged_signature_accuracy
+    from deepipr_tpu.attacks.forge import (
+        forge_attack,
+        forged_signature_accuracy,
+        refine_with_data,
+    )
     from deepipr_tpu.train.steps import make_eval_step, run_eval
 
     model, state, _, _, private, size = load_attacked_model(args)
-    _, valloader = make_loaders(args)
+    trainloader, valloader = make_loaders(args)
+    if args.refine_data_frac < 1.0:
+        from deepipr_tpu.data.datasets import DataLoader
+
+        n = max(args.batch_size,
+                int(len(trainloader.images) * args.refine_data_frac))
+        trainloader = DataLoader(
+            trainloader.images[:n], trainloader.labels[:n], args.batch_size,
+            shuffle=True, train_augment=True, drop_last=True, seed=args.seed)
     shape = (1, size, size, 3)
 
     eval_step = make_eval_step(model, ind=1 if private else 0,
@@ -56,6 +74,14 @@ def main():
             "valid_acc_forged": res["acc"],
             "valid_acc_owner": base["acc"],
         }
+        if args.refine_epochs:
+            refined_pp, rhist = refine_with_data(
+                model, state, forged_pp, attacker_b, trainloader,
+                epochs=args.refine_epochs, private=private)
+            rres = run_eval(
+                eval_step, state.replace(passport=refined_pp), valloader)
+            row["valid_acc_refined"] = rres["acc"]
+            row["refined_signacc"] = round(rhist[-1]["sign_acc"], 4)
         rows.append(row)
         print(row)
 

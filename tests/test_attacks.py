@@ -208,6 +208,23 @@ class TestForge:
         # scheme's ambiguity defense
         assert accs[1.0] < accs[0.0] - 15.0, accs
 
+    def test_data_refinement_improves_or_holds(self, trained, forged_zero):
+        """The data-assisted escalation: CE + attacker-sign-loss fine-tuning
+        from the forged passports keeps the counterfeit signature and does
+        not degrade the forged model."""
+        from deepipr_tpu.attacks.forge import refine_with_data
+        from deepipr_tpu.train.steps import make_eval_step, run_eval
+
+        model, state, train_dl, valid_dl, _ = trained
+        forged_pp, attacker_b, _ = forged_zero
+        refined_pp, rhist = refine_with_data(
+            model, state, forged_pp, attacker_b, train_dl, epochs=1)
+        assert rhist[-1]["sign_acc"] > 0.95
+        eval1 = make_eval_step(model, ind=1)
+        before = run_eval(eval1, state.replace(passport=forged_pp), valid_dl)
+        after = run_eval(eval1, state.replace(passport=refined_pp), valid_dl)
+        assert after["acc"] >= before["acc"] - 5.0
+
     def test_owner_signature_not_reproduced(self, trained, forged_zero):
         """The forged passports claim the ATTACKER's signature, not the
         owner's — detection against the owner's b stays near chance."""
