@@ -44,6 +44,14 @@ def main():
     p.add_argument("--claimed-ckpt",
                    help="take the passports from this checkpoint instead "
                         "(verify an adversarial ownership claim)")
+    p.add_argument("--commit",
+                   help="write a passport pre-commitment record (SHA-256 of "
+                        "passports+signatures+derived signs) to this path — "
+                        "publish it to timestamp ownership before release "
+                        "(passport/commitment.py)")
+    p.add_argument("--check-commitment",
+                   help="verify the checkpoint against a previously written "
+                        "commitment record")
     args = p.parse_args()
 
     import jax
@@ -79,6 +87,25 @@ def main():
     res = verify_ownership(model, state, shape, private=args.private,
                            claimed_passports=claimed,
                            num_chars=args.num_chars)
+
+    if args.commit:
+        from deepipr_tpu.passport.commitment import commit as make_commitment
+
+        rec = make_commitment(state, model=model, input_shape=shape,
+                              private=args.private)
+        with open(args.commit, "w") as f:
+            json.dump(rec, f, indent=2, sort_keys=True)
+        res["commitment_written"] = args.commit
+        res["commitment"] = rec["commitment"]
+    if args.check_commitment:
+        from deepipr_tpu.passport.commitment import verify_commitment
+
+        rec = json.load(open(args.check_commitment))
+        ok = verify_commitment(state, rec, model=model, input_shape=shape,
+                               private=args.private)
+        res["commitment_valid"] = ok
+        res["verified"] = res["verified"] and ok
+
     print(json.dumps(res, indent=2, sort_keys=True))
     sys.exit(0 if res["verified"] else 1)
 
