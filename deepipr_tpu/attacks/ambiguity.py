@@ -110,8 +110,16 @@ def ambiguity_attack(
     seed: int = 0,
     noise_std: float = 0.001,
     eval_fn=None,
+    scan_epochs: bool = False,
 ) -> Tuple[Dict, List[Dict]]:
-    """Run the full ambiguity attack; returns (fake_passports, history)."""
+    """Run the full ambiguity attack; returns (fake_passports, history).
+
+    scan_epochs=True runs each attack epoch as ONE lax.scan dispatch over
+    the loader's resident images (the train/epoch.py pattern: on-device
+    shuffle + gather + fused augmentation keyed by the step counter) — the
+    reference recipe's 100 attack epochs stop paying per-step H2D/dispatch.
+    Same optimization semantics; only the augmentation rng stream differs
+    from the host loader's."""
     orig_pp = jax.device_get(state.passport)
     rng = jax.random.key(seed)
     leaves, treedef = jax.tree.flatten(orig_pp)
@@ -139,16 +147,55 @@ def ambiguity_attack(
     opt_state = tx.init(fake_pp)
     step = make_ambiguity_step(model, base_vars, private, tx)
 
+    epoch_fn = None
+    if scan_epochs and getattr(train_data, "images", None) is not None:
+        from deepipr_tpu.data.device_augment import make_device_augment
+        from deepipr_tpu.train.epoch import epoch_permutation
+
+        size = train_data.images.shape[1]
+        aug = make_device_augment(int((4 / 32) * size),
+                                  random_crop=train_data.random_crop)
+        bs = train_data.batch_size
+        xs = jax.device_put(jnp.asarray(train_data.images))
+        ys = jax.device_put(jnp.asarray(train_data.labels))
+        raw_step = step.__wrapped__  # the unjitted attack step
+
+        @jax.jit
+        def epoch_fn(fake_pp, opt_state, orig_pp, epoch_key):
+            steps, perm = epoch_permutation(epoch_key, xs.shape[0], bs)
+
+            def body(carry, args):
+                pp, opt = carry
+                t, idx = args
+                batch = {
+                    "image": aug(jax.random.fold_in(epoch_key, t), xs[idx]),
+                    "label": ys[idx],
+                }
+                pp, opt, metrics = raw_step(pp, opt, orig_pp, batch)
+                return (pp, opt), metrics
+
+            (fake_pp, opt_state), ms = jax.lax.scan(
+                body, (fake_pp, opt_state), (jnp.arange(steps), perm))
+            return fake_pp, opt_state, jax.tree.map(lambda a: a.mean(), ms)
+
     history: List[Dict] = []
     for ep in range(1, epochs + 1):
-        sums: Dict[str, float] = {}
-        nb = 0
-        for batch in train_data:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            fake_pp, opt_state, metrics = step(fake_pp, opt_state, orig_pp, batch)
-            nb += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+        if epoch_fn is not None:
+            fake_pp, opt_state, metrics = epoch_fn(
+                fake_pp, opt_state, orig_pp,
+                jax.random.fold_in(jax.random.key(seed + 50), ep))
+            sums = {k: float(v) for k, v in metrics.items()}
+            nb = 1
+        else:
+            sums: Dict[str, float] = {}
+            nb = 0
+            for batch in train_data:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                fake_pp, opt_state, metrics = step(
+                    fake_pp, opt_state, orig_pp, batch)
+                nb += 1
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
         row = {f"train_{k}": v / nb for k, v in sums.items()}
         row["epoch"] = ep
         row["flipperc"] = flipperc

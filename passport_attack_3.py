@@ -18,6 +18,9 @@ def main():
     p.add_argument("--flipperc", default=0.0, type=float,
                    help="fraction of signature bits to flip (0..1)")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--epoch-scan", action="store_true",
+                   help="run each attack epoch as one lax.scan dispatch over "
+                        "resident data (in-memory datasets)")
     args = p.parse_args()
 
     import numpy as np
@@ -40,7 +43,7 @@ def main():
     fake_pp, hist = ambiguity_attack(
         model, state, trainloader, valloader, epochs=epochs,
         private=private, flipperc=args.flipperc, lr=args.lr,
-        seed=args.seed, eval_fn=eval_fn,
+        seed=args.seed, eval_fn=eval_fn, scan_epochs=args.epoch_scan,
     )
     for row in hist[-3:]:
         print({k: v for k, v in row.items() if not isinstance(v, np.ndarray)})

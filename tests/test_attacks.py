@@ -124,6 +124,28 @@ class TestAmbiguity:
                         jax.tree.leaves(fake_pp)):
             assert not np.allclose(np.asarray(o), np.asarray(f))
 
+    def test_scanned_epochs_run_and_converge_like_per_step(self, trained):
+        """scan_epochs=True: same attack semantics, one dispatch per epoch.
+        The augmentation rng differs from the host loader's, so exact
+        equality is not expected — both runs must train the fakes away from
+        the originals with finite losses."""
+        model, state, train_dl, valid_dl, _ = trained
+        out = {}
+        for scan in (False, True):
+            fake_pp, hist = ambiguity_attack(
+                model, state, train_dl, valid_dl, epochs=2,
+                private=True, flipperc=0.0, lr=0.01, seed=0,
+                scan_epochs=scan,
+            )
+            assert len(hist) == 2
+            assert np.isfinite(hist[-1]["train_loss"])
+            out[scan] = hist[-1]
+        # both paths optimize the same objective to the same scale
+        assert out[True]["mse"] > 0 and out[False]["mse"] > 0
+        ratio = (out[True]["train_signacc"] + 1e-3) / (
+            out[False]["train_signacc"] + 1e-3)
+        assert 0.5 < ratio < 2.0
+
     def test_flip_signature_bits(self, trained):
         from deepipr_tpu.attacks import flip_signature_bits
 
