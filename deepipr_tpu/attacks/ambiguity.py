@@ -65,8 +65,11 @@ def passport_distances(orig: Dict, fake: Dict) -> Tuple[jax.Array, jax.Array, ja
 
 
 def make_ambiguity_step(model, base_vars: Dict, private: bool,
-                        tx: optax.GradientTransformation):
-    """Build the jitted attack step optimizing only the fake passports."""
+                        tx: optax.GradientTransformation, jit: bool = True):
+    """Build the jitted attack step optimizing only the fake passports.
+
+    jit=False returns the raw step for callers that wrap it in their own
+    transform (the scanned-epoch path below), mirroring make_train_step."""
     kwargs = {"ind": 1} if private else {}
 
     def loss_fn(fake_pp, orig_pp, batch):
@@ -86,7 +89,6 @@ def make_ambiguity_step(model, base_vars: Dict, private: bool,
         }
         return loss, metrics
 
-    @jax.jit
     def step(fake_pp, opt_state, orig_pp, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             fake_pp, orig_pp, batch
@@ -95,7 +97,9 @@ def make_ambiguity_step(model, base_vars: Dict, private: bool,
         fake_pp = optax.apply_updates(fake_pp, updates)
         return fake_pp, opt_state, metrics
 
-    return step
+    if not jit:
+        return step
+    return jax.jit(step)
 
 
 def ambiguity_attack(
@@ -158,7 +162,8 @@ def ambiguity_attack(
         bs = train_data.batch_size
         xs = jax.device_put(jnp.asarray(train_data.images))
         ys = jax.device_put(jnp.asarray(train_data.labels))
-        raw_step = step.__wrapped__  # the unjitted attack step
+        raw_step = make_ambiguity_step(model, base_vars, private, tx,
+                                       jit=False)
 
         @jax.jit
         def epoch_fn(fake_pp, opt_state, orig_pp, epoch_key):
