@@ -19,10 +19,21 @@ The scanned epoch is numerically identical to per-step dispatch of the same
 step function — same params math, same BN updates, same augmentation stream
 (both key off state.step) — proven in tests/test_epoch_scan.py.
 
+Multi-device meshes (pod scale): the resident dataset is REPLICATED across
+the mesh — at CIFAR scale the uint8 array is a rounding error against HBM,
+and replication makes the per-step gather local to every device. The global
+shuffle/permutation stream is unchanged, and the gathered batch carries a
+`P('batch')` sharding constraint, so each device gathers only its slice of
+rows; XLA SPMD's only collective is the gradient all-reduce it already
+inserts for data parallelism. Semantics are therefore IDENTICAL to the
+single-chip scan (tests/test_epoch_scan.py::TestMeshEpochScan proves exact
+param equality). V3 trigger concatenation pads the trigger batch up to
+shard divisibility with weight-0 samples, mirroring the per-step path
+(train/experiment.py::_batches).
+
 Scope: single-host, in-memory datasets (CIFAR/synthetic/Caltech). Streaming
-ImageNet keeps the per-step host loop; under a multi-device mesh the
-resident gather would shuffle across shards every step, so the per-step
-sharded path remains the pod answer.
+ImageNet keeps the per-step host loop — a dataset that cannot live
+replicated in HBM cannot ride a resident scan.
 """
 
 from __future__ import annotations
@@ -31,6 +42,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepipr_tpu.data.device_augment import make_device_augment
 from deepipr_tpu.train.state import TrainState
@@ -58,6 +70,7 @@ def make_epoch_train_fn(
     remat: str = "none",
     wm_batch: int = 2,
     out_dtype=jnp.float32,
+    mesh: Optional[Mesh] = None,
 ):
     """Build epoch_fn(state, images_u8, labels, epoch_key[, wm_images_u8,
     wm_labels]) -> (state, mean_metrics).
@@ -66,7 +79,31 @@ def make_epoch_train_fn(
     drop_last semantics like the reference train loader. wm arrays (V3)
     are the raw uint8 trigger set; every step takes the next `wm_batch`
     images round-robin and the train step concatenates them on-device.
+
+    mesh: run the scan SPMD over the mesh's 'batch' axis (see module
+    docstring). batch_size must divide by the axis size; the V3 trigger
+    batch is padded up to divisibility with weight-0 samples.
     """
+    n_shards = 1
+    if mesh is not None:
+        n_shards = int(mesh.shape["batch"])
+        if batch_size % n_shards != 0:
+            raise ValueError(
+                f"epoch scan on a {n_shards}-way batch mesh needs "
+                f"batch_size % {n_shards} == 0, got {batch_size}"
+            )
+
+    # V3 trigger take per step: exactly wm_batch single-chip; rounded up to
+    # shard divisibility on a mesh (the extras carry loss weight 0, like the
+    # per-step path's padding — experiment.py::_batches)
+    wm_take = wm_batch if n_shards == 1 else -((-wm_batch) // n_shards) * n_shards
+
+    def _constrain(x):
+        if mesh is None or n_shards == 1:
+            return x
+        spec = P("batch", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     aug = make_device_augment(pad, random_crop=random_crop,
                               out_dtype=out_dtype)
     raw_step = make_train_step(
@@ -95,12 +132,21 @@ def make_epoch_train_fn(
 
         def body(state, args):
             t, idx = args
-            batch = {"image": images_u8[idx], "label": labels[idx]}
+            batch = {"image": _constrain(images_u8[idx]),
+                     "label": _constrain(labels[idx])}
             if wm_images_u8 is not None:
                 m = wm_images_u8.shape[0]
-                wm_idx = wm_perm[(t * wm_batch + jnp.arange(wm_batch)) % m]
-                batch["wm_image"] = wm_images_u8[wm_idx]
-                batch["wm_label"] = wm_labels[wm_idx]
+                # cycle advances by wm_batch (the REAL trigger count) per
+                # step; on a mesh, wm_take - wm_batch weight-0 lookaheads
+                # pad the step batch to shard divisibility
+                wm_idx = wm_perm[(t * wm_batch + jnp.arange(wm_take)) % m]
+                batch["wm_image"] = _constrain(wm_images_u8[wm_idx])
+                batch["wm_label"] = _constrain(wm_labels[wm_idx])
+                if wm_take != wm_batch:
+                    batch["weight"] = _constrain(jnp.concatenate([
+                        jnp.ones(batch_size + wm_batch, jnp.float32),
+                        jnp.zeros(wm_take - wm_batch, jnp.float32),
+                    ]))
             return raw_step(state, batch)
 
         state, metrics = jax.lax.scan(
@@ -110,8 +156,14 @@ def make_epoch_train_fn(
     return jax.jit(epoch_fn, donate_argnums=0)
 
 
-def device_resident(images_u8, labels):
+def device_resident(images_u8, labels, mesh: Optional[Mesh] = None):
     """Park a dataset in HBM once (plain device_put; the arrays are reused
-    by every epoch_fn call without re-transfer)."""
+    by every epoch_fn call without re-transfer). On a mesh the arrays are
+    replicated — every device holds the dataset, keeping per-step gathers
+    local (see module docstring)."""
+    if mesh is not None:
+        s = NamedSharding(mesh, P())
+        return (jax.device_put(jnp.asarray(images_u8), s),
+                jax.device_put(jnp.asarray(labels), s))
     return jax.device_put(jnp.asarray(images_u8)), jax.device_put(
         jnp.asarray(labels))

@@ -204,12 +204,15 @@ class ClassificationExperiment(Experiment):
 
         self.mesh = make_mesh() if args.get("use_mesh", True) else None
         if self.epoch_scan and self.mesh is not None and self.mesh.size > 1:
-            # the resident gather would reshuffle across shards every step;
-            # per-step host sharding stays the multi-chip answer
-            # (train/epoch.py docstring)
-            print("WARNING: --epoch-scan is single-chip; using the per-step "
-                  f"path on the {self.mesh.size}-device mesh")
-            self.epoch_scan = False
+            # the scan composes with the mesh: resident dataset replicated,
+            # per-step gathers constrained to P('batch') (train/epoch.py);
+            # only a non-divisible batch size forces the per-step path
+            n_shards = int(self.mesh.shape["batch"])
+            if self.batch_size % n_shards != 0:
+                print(f"WARNING: --epoch-scan needs batch_size divisible by "
+                      f"the {n_shards}-way batch axis; using the per-step "
+                      f"path")
+                self.epoch_scan = False
 
         self._construct_model()
         self.makedirs_or_load()
@@ -287,13 +290,16 @@ class ClassificationExperiment(Experiment):
                 out_dtype=jnp.bfloat16 if self.args.get("bf16")
                 else jnp.float32,
                 wm_batch=self._wm_batch,
+                mesh=self.mesh,
             )
             self._resident = device_resident(
-                self.train_data.images, self.train_data.labels)
+                self.train_data.images, self.train_data.labels,
+                mesh=self.mesh)
             self._resident_wm = ()
             if self.wm_data_raw is not None:
                 self._resident_wm = device_resident(
-                    self.wm_data_raw.images, self.wm_data_raw.labels)
+                    self.wm_data_raw.images, self.wm_data_raw.labels,
+                    mesh=self.mesh)
         self.eval_steps = {0: make_eval_step(self.model, ind=0)}
         if self.private:
             self.eval_steps[1] = make_eval_step(self.model, ind=1)

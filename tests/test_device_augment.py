@@ -181,9 +181,9 @@ def test_experiment_flag_smoke(tmp_path):
 
 def test_experiment_epoch_scan_smoke(tmp_path):
     """--epoch-scan end-to-end through the experiment: scanned epochs train,
-    history lands, and the run produces sane metrics. On the 8-device test
-    mesh the flag falls back to per-step (single-chip feature) — so force
-    the meshless path to exercise the scan itself."""
+    history lands, and the run produces sane metrics. Meshless here to keep
+    the compile small; the mesh path is covered by
+    tests/test_epoch_scan.py::TestMeshEpochScan."""
     from deepipr_tpu.train.experiment import ClassificationExperiment
 
     args = {
@@ -230,7 +230,13 @@ def test_ckpt_every_throttles_last_but_saves_final(tmp_path):
     assert not os.path.exists(os.path.join(models, "last.ckpt.tmp"))
 
 
-def test_epoch_scan_falls_back_on_multidevice_mesh(tmp_path):
+def test_epoch_scan_on_multidevice_mesh(tmp_path):
+    """--epoch-scan now composes with a multi-device mesh (round 3): a
+    divisible batch size keeps the scanned path; an indivisible one falls
+    back to per-step. Scan-on-mesh training correctness is proven at tiny
+    scale in tests/test_epoch_scan.py::TestMeshEpochScan — here only the
+    experiment wiring decision is asserted (compiling a full AlexNet
+    scanned epoch on the virtual mesh is minutes of XLA time)."""
     from deepipr_tpu.train.experiment import ClassificationExperiment
 
     import jax as _jax
@@ -247,6 +253,9 @@ def test_epoch_scan_falls_back_on_multidevice_mesh(tmp_path):
         "synthetic_train": 128, "synthetic_test": 64,
     }
     exp = ClassificationExperiment(args)
-    assert exp.epoch_fn is None  # fell back, per-step path still works
-    exp.makedirs_or_load()
-    exp.training()
+    assert exp.epoch_scan and exp.mesh is not None and exp.mesh.size > 1
+
+    args["batch_size"] = 30  # not divisible by the 8-way batch axis
+    args["logdir"] = str(tmp_path / "indivisible")
+    exp2 = ClassificationExperiment(args)
+    assert not exp2.epoch_scan  # fell back to the per-step path

@@ -104,3 +104,103 @@ class TestEpochScan:
         xs, ys = device_resident(x, y)
         with pytest.raises(ValueError, match="exceeds"):
             epoch_fn(state, xs, ys, jax.random.key(0))
+
+
+class TestMeshEpochScan:
+    """The scanned epoch composes with a multi-device mesh: resident data
+    replicated, per-step gathers constrained to P('batch') — semantics
+    identical to the single-chip scan (train/epoch.py docstring)."""
+
+    def test_mesh_scan_matches_single_device(self):
+        from deepipr_tpu.parallel import make_mesh, replicate
+
+        model = tiny_passport_model(private=True)
+        x, y = u8_data(n=64)
+        bs, pad = 16, 2
+        state0 = make_state(model, jnp.zeros((2, 16, 16, 3)))
+        host = jax.tree.map(np.asarray, state0)
+        key = jax.random.key(7)
+
+        s_one = jax.tree.map(jnp.asarray, host)
+        fn_one = make_epoch_train_fn(model, True, bs, pad)
+        s_one, m_one = fn_one(s_one, *device_resident(x, y), key)
+
+        mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+        assert mesh.size == 8
+        s_mesh = replicate(jax.tree.map(jnp.asarray, host), mesh)
+        fn_mesh = make_epoch_train_fn(model, True, bs, pad, mesh=mesh)
+        s_mesh, m_mesh = fn_mesh(
+            s_mesh, *device_resident(x, y, mesh=mesh), key)
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_mesh.params), jax.device_get(s_one.params))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_mesh.batch_stats),
+            jax.device_get(s_one.batch_stats))
+        for k in m_one:
+            assert float(m_mesh[k]) == pytest.approx(
+                float(m_one[k]), rel=1e-4, abs=1e-5), k
+
+    def test_mesh_v3_trigger_padding_weights(self):
+        """V3 on a mesh: the trigger batch pads to shard divisibility with
+        weight-0 lookahead samples; the cycle still advances by wm_batch per
+        step (reference trainer.py:115-126 semantics). Proven against a
+        manual per-step loop with explicit indices + weights."""
+        from deepipr_tpu.data.device_augment import make_device_augment
+        from deepipr_tpu.parallel import make_mesh, replicate
+        from deepipr_tpu.train.steps import make_train_step
+
+        model = tiny_passport_model(private=True)
+        x, y = u8_data(n=32)
+        wm_x, wm_y = u8_data(n=6, seed=5)
+        bs, pad, wm_batch = 16, 2, 2
+        mesh = make_mesh()
+        n_shards = int(mesh.shape["batch"])
+        wm_take = -((-wm_batch) // n_shards) * n_shards  # 8 on the 8-mesh
+        assert wm_take == 8
+
+        state0 = make_state(model, jnp.zeros((2, 16, 16, 3)))
+        host = jax.tree.map(np.asarray, state0)
+        key = jax.random.key(3)
+
+        fn_mesh = make_epoch_train_fn(model, True, bs, pad, mesh=mesh,
+                                      wm_batch=wm_batch)
+        s_mesh = replicate(jax.tree.map(jnp.asarray, host), mesh)
+        s_mesh, _ = fn_mesh(
+            s_mesh, *device_resident(x, y, mesh=mesh), key,
+            *device_resident(wm_x, wm_y, mesh=mesh))
+
+        aug = make_device_augment(pad)
+        step = make_train_step(model, True, device_augment=aug)
+        perm = np.asarray(jax.random.permutation(key, len(x)))
+        wm_perm = np.asarray(jax.random.permutation(
+            jax.random.fold_in(key, 1), len(wm_x)))
+        weight = np.concatenate([
+            np.ones(bs + wm_batch, np.float32),
+            np.zeros(wm_take - wm_batch, np.float32),
+        ])
+        s_loop = jax.tree.map(jnp.asarray, host)
+        for t in range(len(x) // bs):
+            idx = perm[t * bs:(t + 1) * bs]
+            wm_idx = wm_perm[(t * wm_batch + np.arange(wm_take)) % len(wm_x)]
+            s_loop, _ = step(s_loop, {
+                "image": jnp.asarray(x[idx]), "label": jnp.asarray(y[idx]),
+                "wm_image": jnp.asarray(wm_x[wm_idx]),
+                "wm_label": jnp.asarray(wm_y[wm_idx]),
+                "weight": jnp.asarray(weight),
+            })
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_mesh.params), jax.device_get(s_loop.params))
+
+    def test_indivisible_batch_rejected(self):
+        from deepipr_tpu.parallel import make_mesh
+
+        model = tiny_passport_model(private=True)
+        with pytest.raises(ValueError, match="batch_size"):
+            make_epoch_train_fn(model, True, 12, 2, mesh=make_mesh())
