@@ -46,6 +46,28 @@ def nclass_for(dataset: str) -> int:
     return {"cifar100": 100, "imagenet1000": 1000}.get(dataset, 10)
 
 
+def _ckpt_has_separate_stats(path: str) -> bool:
+    """Peek at a checkpoint's batch_stats tree for per-branch BN stats
+    ('bn_private', models/layers.py:292-301) without needing a template."""
+    import flax
+
+    with open(path, "rb") as f:
+        sd = flax.serialization.msgpack_restore(f.read())
+    found = False
+
+    def walk(node):
+        nonlocal found
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "bn_private":
+                    found = True
+                else:
+                    walk(v)
+
+    walk(sd.get("batch_stats", {}))
+    return found
+
+
 def load_attacked_model(args, learnable_affine: bool = False):
     """(model, state, passport_kwargs, plkeys) for the checkpoint under attack.
 
@@ -59,7 +81,16 @@ def load_attacked_model(args, learnable_affine: bool = False):
     passport_kwargs, plkeys = construct_passport_kwargs(
         cfg, args.norm_type, "shuffle", 0.1
     )
-    if getattr(args, "separate_stats", False):
+    separate = bool(getattr(args, "separate_stats", False))
+    if args.loadpath and not separate and _ckpt_has_separate_stats(
+            args.loadpath):
+        # loading a separate-stats checkpoint into a shared-stats template
+        # silently drops the private branch's running stats, making every
+        # private-branch eval garbage — auto-enable instead
+        print("NOTE: checkpoint carries per-branch BN stats (bn_private); "
+              "enabling --separate-stats automatically")
+        separate = True
+    if separate:
         from deepipr_tpu.utils.config import mark_separate_stats
 
         mark_separate_stats(passport_kwargs)

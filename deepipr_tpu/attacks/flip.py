@@ -40,6 +40,25 @@ def materialize_affines(params: Dict, affines: Dict[str, Dict],
     return unflatten_paths(flat)
 
 
+def align_stats_with_private(batch_stats: Dict, plpaths: List[str]) -> Dict:
+    """For separate-stats checkpoints, copy bn_private running stats over the
+    public bn stats at the passport layers.
+
+    The materialized-affine eval runs the PUBLIC forward with the
+    PRIVATE-derived scale/bias (reference flip_attack semantics — fine under
+    the reference's shared BN). With per-branch stats (our beyond-reference
+    variant, models/layers.py:292-301) those affines belong with bn_private's
+    statistics; pairing them with the public stats evaluates a model nobody
+    trained (observed: 9.8% acc at 0% flips on the 200-epoch checkpoint)."""
+    flat = dict(flatten_paths(batch_stats))
+    for path in plpaths:
+        for stat in ("mean", "var"):
+            priv = f"{path}/bn_private/{stat}"
+            if priv in flat:
+                flat[f"{path}/bn/{stat}"] = flat[priv]
+    return unflatten_paths(flat)
+
+
 def flip_attack(
     model,
     state,
@@ -59,6 +78,8 @@ def flip_attack(
     affines = derived_affines(model, state.model_variables(), input_shape, private)
     detection = detect_signature_from_affines(affines)
     base_params = materialize_affines(state.params, affines, plpaths)
+    state = state.replace(
+        batch_stats=align_stats_with_private(state.batch_stats, plpaths))
     targets = flip_paths or plpaths
 
     # public/materialized-affine forward (reference model(d) after init_scale)

@@ -64,6 +64,17 @@ def passport_to_normal(
         flat[f"{path}/bn/bias"] = aux["bias"].reshape(-1)
     new_params = unflatten_paths(flat)
     new_stats = copy_matching(passport_stats, normal_stats)
+    # separate-stats checkpoints: the derived affines were trained against
+    # bn_private's running stats — pair them (copy_matching only sees the
+    # shared 'bn' path, which holds the PUBLIC branch's stats)
+    sflat = dict(flatten_paths(new_stats))
+    pflat = dict(flatten_paths(passport_stats))
+    for path in plpaths:
+        for stat in ("mean", "var"):
+            priv = f"{path}/bn_private/{stat}"
+            if priv in pflat:
+                sflat[f"{path}/bn/{stat}"] = pflat[priv]
+    new_stats = unflatten_paths(sflat)
     return new_params, new_stats
 
 

@@ -92,6 +92,27 @@ def load_state(path: str, template: Any, restore_opt: bool = True) -> Any:
     sd = flax.serialization.msgpack_restore(data)
     sd.pop("opt_state", None)
     sd.pop("step", None)
+    dropped = []
+
+    def diff(ck, tmpl, prefix):
+        if isinstance(ck, dict):
+            tk = tmpl if isinstance(tmpl, dict) else {}
+            for k, v in ck.items():
+                if k not in tk:
+                    dropped.append(f"{prefix}/{k}")
+                else:
+                    diff(v, tk[k], f"{prefix}/{k}")
+
+    for k, v in sd.items():
+        diff(v, flax.serialization.to_state_dict(getattr(template, k)), k)
+    if dropped:
+        # flax.from_state_dict silently ignores checkpoint keys absent from
+        # the template — that silence cost a whole attack grid once (a
+        # separate-stats checkpoint evaluated with shared-stats BN), so
+        # surface it loudly
+        print(f"WARNING: load_state dropped {len(dropped)} checkpoint "
+              f"entr{'y' if len(dropped) == 1 else 'ies'} not in the "
+              f"template: {dropped[:6]}{' ...' if len(dropped) > 6 else ''}")
     restored = {
         k: flax.serialization.from_state_dict(getattr(template, k), v, name=k)
         for k, v in sd.items()

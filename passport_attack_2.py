@@ -44,7 +44,10 @@ def main():
         print(row)
     write_history_csv(
         hist, attack_logdir("passport_attack_2", args.loadpath),
-        f"{args.arch}-{args.scheme}-history-{args.dataset}-{args.tagnum}.csv",
+        # flipperc in the name so sweeps don't overwrite (the reference's
+        # naming, passport_attack_2.py:343, collides across flipperc runs)
+        f"{args.arch}-{args.scheme}-history-{args.dataset}-{args.tagnum}-"
+        f"{args.flipperc:.1f}.csv",
     )
 
 

@@ -1,0 +1,170 @@
+"""Assemble ROBUSTNESS.md from the attack-grid CSVs (VERDICT r2 item 6).
+
+Reads the CSVs written by tools/run_robustness_grid.sh under
+logs/{passport_attack_1,pruning_attack,flipping_attack,passport_attack_2,
+passport_attack_3,passport_forge_attack}/<expname>/ and consolidates the
+owner-vs-attacker story into one table per attack, replacing the scattered
+docs/demo CSVs as the canonical robustness record.
+
+Run: python tools/collect_robustness.py \
+        --expname resnet_synthetic_v2_demo200/1 --tag 200 --out ROBUSTNESS.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+
+
+def read_csv(path):
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def fnum(x, default=float("nan")):
+    try:
+        return float(x)
+    except (TypeError, ValueError):
+        return default
+
+
+def find(kind, expname, pattern="*.csv"):
+    return sorted(glob.glob(os.path.join("logs", kind, expname, pattern)))
+
+
+def section_attack1(expname, tag, lines):
+    paths = find("passport_attack_1", expname, f"*-{tag}.csv")
+    if not paths:
+        return
+    rows = read_csv(paths[-1])
+    genuine = [r for r in rows if fnum(r["attack_rep"]) < 0]
+    fakes = [r for r in rows if fnum(r["attack_rep"]) >= 0]
+    accs = [fnum(r["valid_acc"]) for r in fakes]
+    signs = [fnum(r["valid_signacc"]) for r in fakes]
+    lines += [
+        "## Attack 1 — random fake passports "
+        f"({len(fakes)} reps; reference passport_attack_1.py)",
+        "",
+        "| | private acc | sign acc |",
+        "|---|---|---|",
+        f"| genuine passport | {fnum(genuine[0]['valid_acc']):.2f}% "
+        f"| {fnum(genuine[0]['valid_signacc']) * 100:.2f}% |",
+        f"| fake (mean over reps) | {sum(accs) / len(accs):.2f}% "
+        f"| {100 * sum(signs) / len(signs):.2f}% |",
+        f"| fake (best for attacker) | {max(accs):.2f}% "
+        f"| {100 * max(signs):.2f}% |",
+        "",
+        f"Source: `{paths[-1]}`",
+        "",
+    ]
+
+
+def section_sweep(kind, title, expname, tag, lines, extra_cols=()):
+    paths = find(kind, expname, f"*-{tag}.csv")
+    if not paths:
+        return
+    rows = read_csv(paths[-1])
+    cols = ["perc", "acc", "detect_mean", *extra_cols]
+    lines += [f"## {title}", "", "| " + " | ".join(cols) + " |",
+              "|" + "---|" * len(cols)]
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = fnum(r.get(c))
+            vals.append(f"{v * 100:.1f}%" if c == "detect_mean"
+                        else f"{v:.2f}")
+        lines.append("| " + " | ".join(vals) + " |")
+    lines += ["", f"Source: `{paths[-1]}`", ""]
+
+
+def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
+                    sig_cols=("similarity",)):
+    paths = find(kind, expname, f"*{tag}-*.csv")
+    if not paths:
+        return
+    lines += [f"## {title}", ""]
+    header = ["flipperc", "final attacker acc", *sig_cols]
+    lines += ["| " + " | ".join(header) + " |", "|" + "---|" * len(header)]
+    for p in paths:
+        fp = os.path.splitext(p)[0].rsplit("-", 1)[-1]
+        rows = read_csv(p)
+        final = rows[-1]
+        vals = [fp, f"{fnum(final.get(acc_col)):.2f}%"]
+        for c in sig_cols:
+            cands = [fnum(r.get(c)) for r in rows
+                     if r.get(c) not in (None, "")]
+            vals.append(f"{cands[-1]:.4f}" if cands else "—")
+        lines.append("| " + " | ".join(vals) + " |")
+    lines += ["", "Sources: " + ", ".join(f"`{p}`" for p in paths), ""]
+
+
+def section_forge(expname, tag, lines):
+    paths = find("passport_forge_attack", expname, f"*-{tag}.csv")
+    if not paths:
+        return
+    rows = read_csv(paths[-1])
+    lines += [
+        "## Forge attack (beyond reference) — passports from scratch, "
+        "no data",
+        "",
+        "| flipperc | forged acc | owner acc | forged sign acc (vs "
+        "attacker's b) |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {fnum(r['flipperc']):.2f} "
+            f"| {fnum(r['valid_acc_forged']):.2f}% "
+            f"| {fnum(r['valid_acc_owner']):.2f}% "
+            f"| {100 * fnum(r['forged_signacc_vs_attacker_b']):.2f}% |")
+    lines += ["", f"Source: `{paths[-1]}`", ""]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--expname", default="resnet_synthetic_v2_demo200/1")
+    ap.add_argument("--tag", default="200")
+    ap.add_argument("--out", default="ROBUSTNESS.md")
+    ap.add_argument("--header", default=None,
+                    help="extra context line (checkpoint, hardware)")
+    args = ap.parse_args()
+
+    lines = [
+        "# ROBUSTNESS — full attack grid at canonical scale",
+        "",
+        "Attack grid of the reference (attacking.sh + "
+        "passport_attack_{1,2,3}.py, pruning_attack.py, flip_attack.py) "
+        "plus this repo's forge attack, run on the real TPU against the "
+        f"200-epoch canonical V2 checkpoint (`logs/{args.expname}`). "
+        "Regenerate: `bash tools/run_robustness_grid.sh` then "
+        "`python tools/collect_robustness.py`.",
+        "",
+    ]
+    if args.header:
+        lines += [args.header, ""]
+
+    section_attack1(args.expname, args.tag, lines)
+    section_sweep("pruning_attack", "Pruning attack — global percentile "
+                  "sweep (reference pruning_attack.py)", args.expname,
+                  args.tag, lines)
+    section_sweep("flipping_attack", "Sign-flip attack — flip the largest "
+                  "|scale| signs (reference flip_attack.py)", args.expname,
+                  args.tag, lines, extra_cols=("similarity",))
+    section_retrain("passport_attack_2", "Attack 2 — reverse-engineer "
+                    "scale/bias, 100 retrain epochs (reference "
+                    "passport_attack_2.py)", args.expname, args.tag, lines)
+    section_retrain("passport_attack_3", "Attack 3 — ambiguity attack, 100 "
+                    "epochs (reference passport_attack_3.py)", args.expname,
+                    args.tag, lines,
+                    sig_cols=("train_signacc", "cosine_similarity"))
+    section_forge(args.expname, args.tag, lines)
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out} ({len(lines)} lines)")
+
+
+if __name__ == "__main__":
+    main()
