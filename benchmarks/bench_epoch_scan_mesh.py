@@ -13,7 +13,10 @@ per epoch, which is exactly the overhead class the relay-attached single
 chip measured at 2x (BASELINE.md: per-step 14.5k vs scan 29.7k img/s).
 
 Run: python benchmarks/bench_epoch_scan_mesh.py [--arch alexnet] [--epochs 3]
-(forces the CPU platform + 8 virtual devices; run from repo root).
+(forces the CPU platform + 8 virtual devices; run from repo root). Defaults
+are sized for the one-core box: the 8-step scan body already exhibits the
+dispatch structure, and XLA's CPU compile of a bs-256/16-step scan took
+>90 min there.
 """
 
 import argparse
@@ -53,8 +56,8 @@ def main():
     ap.add_argument("--arch", default="alexnet",
                     choices=["alexnet", "resnet18"])
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--n-images", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--n-images", type=int, default=512)
     args = ap.parse_args()
 
     mesh = make_mesh()
