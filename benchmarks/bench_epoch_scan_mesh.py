@@ -7,10 +7,12 @@ P('batch')); this benchmark backs the path choice with numbers on the only
 multi-device surface available here — the virtual 8-device CPU mesh.
 
 Caveats (stated up front): virtual CPU devices share host cores, so absolute
-numbers mean nothing; what transfers to a real pod is the RELATIVE dispatch
-structure — the scan replaces per-step (H2D + dispatch) with one dispatch
-per epoch, which is exactly the overhead class the relay-attached single
-chip measured at 2x (BASELINE.md: per-step 14.5k vs scan 29.7k img/s).
+numbers mean nothing. Measured result (docs/DESIGN.md section 20): XLA:CPU
+lowers the scanned epoch pathologically (0.056x per-step at 8 devices,
+0.012x at 1 device) — the 1-device control shows the SPMD partitioner is
+NOT the cause, so the CPU mesh cannot arbitrate the TPU decision on
+throughput; the TPU evidence is the single-chip 2x win with the identical
+dispatch structure (BASELINE.md: per-step 14.5k vs scan 29.7k img/s).
 
 Run: python benchmarks/bench_epoch_scan_mesh.py [--arch alexnet] [--epochs 3]
 (forces the CPU platform + 8 virtual devices; run from repo root). Defaults
@@ -25,10 +27,14 @@ import os
 import sys
 import time
 
+_n_dev = "8"
+for _i, _a in enumerate(sys.argv):
+    if _a == "--devices":
+        _n_dev = sys.argv[_i + 1]
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        flags + f" --xla_force_host_platform_device_count={_n_dev}").strip()
 
 import jax  # noqa: E402
 
@@ -58,6 +64,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--n-images", type=int, default=512)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual CPU device count (1 isolates scan-vs-"
+                         "per-step from the SPMD partitioner)")
     args = ap.parse_args()
 
     mesh = make_mesh()
