@@ -47,7 +47,7 @@ def main():
         # flipperc in the name so sweeps don't overwrite (the reference's
         # naming, passport_attack_2.py:343, collides across flipperc runs)
         f"{args.arch}-{args.scheme}-history-{args.dataset}-{args.tagnum}-"
-        f"{args.flipperc:.1f}.csv",
+        f"{args.flipperc}.csv",
     )
 
 

@@ -50,7 +50,7 @@ def main():
     write_history_csv(
         hist, attack_logdir("passport_attack_3", args.loadpath),
         f"{args.arch}-{args.scheme}-history-{args.dataset}-{args.rep}-"
-        f"{args.tagnum}-{args.flipperc:.1f}.csv",
+        f"{args.tagnum}-{args.flipperc}.csv",
     )
 
 
