@@ -136,10 +136,12 @@ def main():
         "",
         "Attack grid of the reference (attacking.sh + "
         "passport_attack_{1,2,3}.py, pruning_attack.py, flip_attack.py) "
-        "plus this repo's forge attack, run on the real TPU against the "
+        "plus this repo's forge attack, run against the "
         f"200-epoch canonical V2 checkpoint (`logs/{args.expname}`). "
         "Regenerate: `bash tools/run_robustness_grid.sh` then "
-        "`python tools/collect_robustness.py`.",
+        "`python tools/collect_robustness.py`. Committed copies of every "
+        "source CSV: `docs/demo/robustness_grid/` (the logs/ tree is "
+        "gitignored).",
         "",
     ]
     if args.header:
