@@ -112,4 +112,18 @@ def main(batch_size=256, n_images=12800, epochs=3):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — still emit the one JSON line
+        # e.g. jax.errors.JaxRuntimeError UNAVAILABLE when the relay's
+        # device grant is wedged: fail with a diagnostic record, not a
+        # bare traceback, so the driver always gets a parseable result.
+        print(json.dumps({
+            "metric": "images/sec/chip (ResNet-18 V2 passport train incl. "
+                      "augmentation, CIFAR-10, device-resident epochs)",
+            "value": None,
+            "unit": "img/s/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(2)
