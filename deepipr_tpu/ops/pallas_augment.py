@@ -119,7 +119,7 @@ def make_pallas_augment(
             ).astype(out_dtype)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),   # dataset stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),   # dataset stays in HBM
         pl.BlockSpec((wc, wc), lambda i, *_: (0, 0)),    # flip P
         pl.BlockSpec((1, wc), lambda i, *_: (0, 0)),     # mean row
         pl.BlockSpec((1, wc), lambda i, *_: (0, 0)),     # std row
