@@ -122,14 +122,34 @@ def section_forge(expname, tag, lines):
     lines += ["", f"Source: `{paths[-1]}`", ""]
 
 
+def add_model_sections(expname, tag, lines):
+    section_attack1(expname, tag, lines)
+    section_sweep("pruning_attack", "Pruning attack — global percentile "
+                  "sweep (reference pruning_attack.py)", expname,
+                  tag, lines)
+    section_sweep("flipping_attack", "Sign-flip attack — flip the largest "
+                  "|scale| signs (reference flip_attack.py)", expname,
+                  tag, lines, extra_cols=("similarity",))
+    section_retrain("passport_attack_2", "Attack 2 — reverse-engineer "
+                    "scale/bias, 100 retrain epochs (reference "
+                    "passport_attack_2.py)", expname, tag, lines)
+    section_retrain("passport_attack_3", "Attack 3 — ambiguity attack, 100 "
+                    "epochs (reference passport_attack_3.py)", expname,
+                    tag, lines,
+                    sig_cols=("train_signacc", "cosine_similarity"))
+    section_forge(expname, tag, lines)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--expname", default="resnet_synthetic_v2_demo200/1")
+    ap.add_argument("--expname", action="append", default=None,
+                    help="repeatable; each adds a model section")
     ap.add_argument("--tag", default="200")
     ap.add_argument("--out", default="ROBUSTNESS.md")
     ap.add_argument("--header", default=None,
                     help="extra context line (checkpoint, hardware)")
     args = ap.parse_args()
+    expnames = args.expname or ["resnet_synthetic_v2_demo200/1"]
 
     lines = [
         "# ROBUSTNESS — full attack grid at canonical scale",
@@ -137,7 +157,8 @@ def main():
         "Attack grid of the reference (attacking.sh + "
         "passport_attack_{1,2,3}.py, pruning_attack.py, flip_attack.py) "
         "plus this repo's forge attack, run against the "
-        f"200-epoch canonical V2 checkpoint (`logs/{args.expname}`). "
+        "200-epoch canonical V2 checkpoints ("
+        + ", ".join(f"`logs/{e}`" for e in expnames) + "). "
         "Regenerate: `bash tools/run_robustness_grid.sh` then "
         "`python tools/collect_robustness.py`. Committed copies of every "
         "source CSV: `docs/demo/robustness_grid/` (the logs/ tree is "
@@ -147,21 +168,10 @@ def main():
     if args.header:
         lines += [args.header, ""]
 
-    section_attack1(args.expname, args.tag, lines)
-    section_sweep("pruning_attack", "Pruning attack — global percentile "
-                  "sweep (reference pruning_attack.py)", args.expname,
-                  args.tag, lines)
-    section_sweep("flipping_attack", "Sign-flip attack — flip the largest "
-                  "|scale| signs (reference flip_attack.py)", args.expname,
-                  args.tag, lines, extra_cols=("similarity",))
-    section_retrain("passport_attack_2", "Attack 2 — reverse-engineer "
-                    "scale/bias, 100 retrain epochs (reference "
-                    "passport_attack_2.py)", args.expname, args.tag, lines)
-    section_retrain("passport_attack_3", "Attack 3 — ambiguity attack, 100 "
-                    "epochs (reference passport_attack_3.py)", args.expname,
-                    args.tag, lines,
-                    sig_cols=("train_signacc", "cosine_similarity"))
-    section_forge(args.expname, args.tag, lines)
+    for expname in expnames:
+        if len(expnames) > 1:
+            lines += [f"# {expname.split('/')[0]}", ""]
+        add_model_sections(expname, args.tag, lines)
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
