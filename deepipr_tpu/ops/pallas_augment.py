@@ -12,18 +12,27 @@ pipeline by fusing everything into one pass over VMEM:
     costs exactly B row copies and the uint8 image is only materialized
     once, in VMEM (XLA's gather materializes a gathered uint8 batch in HBM,
     then reloads it for the crop einsums);
-  - pad + random crop collapse into a zero-initialized VMEM scratch write
-    plus one dynamic slice at (oy, 3*ox) — no one-hot matrices, no einsum
-    FLOPs, no padded f32 batch in HBM;
-  - the horizontal flip is one (W*C, W*C) permutation matmul on the MXU,
-    selected per image against the identity (channel order preserved);
+  - pad + random crop + flip are TWO tiny per-image selection matmuls,
+    `V @ img @ M`, where V (H,H) encodes the vertical pad+crop and M
+    (W*C, W*C) the horizontal pad+crop composed with the optional flip.
+    Both matrices are built in-register from iota comparisons against the
+    scalar-prefetched (oy, ox, flip) draws; out-of-range rows are all-zero,
+    which IS the zero padding — no padded scratch, no dynamic slices.
+    (Mosaic rejects dynamic lane-dimension slices unless the offset is
+    provably a multiple of 128, so the natural pad-scratch + dynamic-slice
+    formulation does not compile; the selection-matmul form runs the crop
+    on the MXU instead and needs no alignment proof.);
   - normalize fuses into the same pass, writing the final f32/bf16 batch.
 
-Layout: images travel as (H, W*C) rows — W*C = 96 lanes for CIFAR shapes,
-one contiguous 3 KB DMA per image. The host-side RNG draws (crop offsets,
-flip flags) are IDENTICAL to make_device_augment's (same key splits, same
-draw shapes), so for equal keys this kernel is bit-identical to the
-'slice'/'onehot' paths in f32 — proven in tests/test_pallas_augment.py.
+Layout: images travel as (H, ceil(W*C/128)*128) uint8 rows — Mosaic DMAs
+must copy whole (sublane, 128-lane) tiles, so the W*C = 96 CIFAR row is
+stored padded to 128 lanes (`prepare_rows`, a one-time 4/3x HBM cost on
+the resident set); the padding lanes are masked out of the horizontal
+selection matrix, so they never reach the output. The host-side RNG draws
+(crop offsets, flip flags) are IDENTICAL to make_device_augment's (same
+key splits, same draw shapes), so for equal keys this kernel is
+bit-identical to the 'slice'/'onehot' paths in f32 — proven in
+tests/test_pallas_augment.py.
 
 Reference behavior being accelerated: dataset.py:268 (RandomCrop + flip +
 Normalize), fused with the batch gather the reference does in its
@@ -41,16 +50,15 @@ import numpy as np
 from deepipr_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
 
 
-def _flip_permutation(w: int, c: int) -> np.ndarray:
-    """(W*C, W*C) one-hot P with (x @ P) reversing pixels, keeping channels:
-    output flat column q = out_pixel*c + ch reads in_pixel = w-1-out_pixel."""
-    wc = w * c
-    p = np.zeros((wc, wc), np.float32)
-    for out_pix in range(w):
-        in_pix = w - 1 - out_pix
-        for ch in range(c):
-            p[in_pix * c + ch, out_pix * c + ch] = 1.0
-    return p
+def _column_maps(w: int, c: int) -> tuple[np.ndarray, np.ndarray]:
+    """(1, W*C) int32 maps q -> source flat column *before* the crop shift.
+
+    no-flip: identity (out column q reads cropped column q); flip: output
+    pixel p reads cropped pixel w-1-p, channel order preserved. The kernel
+    adds (ox - pad) * c to these to fold in the horizontal pad+crop."""
+    q = np.arange(w * c, dtype=np.int32)
+    pix, ch = q // c, q % c
+    return q[None, :], ((w - 1 - pix) * c + ch)[None, :].astype(np.int32)
 
 
 def make_pallas_augment(
@@ -76,13 +84,13 @@ def make_pallas_augment(
 
     h, w, c = height, width, channels
     wc = w * c
-    ph, pwc = h + 2 * pad, wc + 2 * pad * c
-    flip_p = _flip_permutation(w, c)
+    wcp = -(-wc // 128) * 128  # DMA tiles are 128 lanes wide
+    colmap_id, colmap_flip = _column_maps(w, c)
     mean_row = np.tile(np.asarray(mean, np.float32) * 255.0, w)[None, :]
     std_row = np.tile(np.asarray(std, np.float32) * 255.0, w)[None, :]
 
-    def kernel(idx_ref, oy_ref, ox_ref, flip_ref, dataset_ref, flip_p_ref,
-               mean_ref, std_ref, out_ref, img_scr, pad_scr, sems):
+    def kernel(idx_ref, oy_ref, ox_ref, flip_ref, dataset_ref, cmap_ref,
+               fmap_ref, mean_ref, std_ref, out_ref, img_scr, sems):
         i = pl.program_id(0)
 
         # fire all gather DMAs up front (uint8 rows, one per image)
@@ -101,35 +109,50 @@ def make_pallas_augment(
             ).wait()
             oy = oy_ref[i * block + j]
             ox = ox_ref[i * block + j]
-            # zero-pad into scratch, then the crop is ONE dynamic slice
-            pad_scr[:] = jnp.zeros((ph, pwc), jnp.float32)
-            pad_scr[pad:pad + h, pad * c:pad * c + wc] = (
-                img_scr[j].astype(jnp.float32))
-            cropped = pad_scr[pl.ds(oy, h), pl.ds(ox * c, wc)]
-            # flip = MXU permutation matmul, selected against identity
-            flipped = jax.lax.cond(
-                flip_ref[i * block + j] != 0,
-                lambda x: jnp.dot(x, flip_p_ref[:],
-                                  preferred_element_type=jnp.float32),
-                lambda x: x,
-                cropped,
-            )
-            out_ref[j] = (
-                (flipped - mean_ref[:]) / std_ref[:]
-            ).astype(out_dtype)
+            flip = flip_ref[i * block + j]
+            # Mosaic has no direct u8->f32 cast; extui to i32 then sitofp.
+            img = img_scr[j].astype(jnp.int32).astype(jnp.float32)
+            # Vertical pad+crop: V[r_out, r_in] = (r_in == r_out + oy - pad);
+            # out-of-range rows are all-zero, which IS the zero padding.
+            r_out = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+            r_in = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+            vsel = ((r_in == r_out + (oy - pad))
+                    .astype(jnp.int32).astype(jnp.float32))
+            # Horizontal pad+crop composed with flip: one selection matrix
+            # M[r, q] = (r == cmap[q] + (ox - pad) * c), cmap picked per the
+            # flip draw. One-hot f32 matmuls over <=255 ints are exact.
+            # Rows r >= wc are the DMA-tile padding lanes — masked off so
+            # their garbage bytes never select into the output.
+            cmap = jnp.where(flip != 0, fmap_ref[:], cmap_ref[:])
+            rr = jax.lax.broadcasted_iota(jnp.int32, (wcp, wc), 0)
+            hsel = (jnp.logical_and(rr == cmap + (ox - pad) * c, rr < wc)
+                    .astype(jnp.int32).astype(jnp.float32))
+            out = jnp.dot(
+                jnp.dot(vsel, img, preferred_element_type=jnp.float32),
+                hsel, preferred_element_type=jnp.float32)
+            out_ref[j] = ((out - mean_ref[:]) / std_ref[:]).astype(out_dtype)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # dataset stays in HBM
-        pl.BlockSpec((wc, wc), lambda i, *_: (0, 0)),    # flip P
+        pl.BlockSpec((1, wc), lambda i, *_: (0, 0)),     # colmap identity
+        pl.BlockSpec((1, wc), lambda i, *_: (0, 0)),     # colmap flip
         pl.BlockSpec((1, wc), lambda i, *_: (0, 0)),     # mean row
         pl.BlockSpec((1, wc), lambda i, *_: (0, 0)),     # std row
     ]
     out_specs = pl.BlockSpec((block, h, wc), lambda i, *_: (i, 0, 0))
     scratch_shapes = [
-        pltpu.VMEM((block, h, wc), jnp.uint8),
-        pltpu.VMEM((ph, pwc), jnp.float32),
+        pltpu.VMEM((block, h, wcp), jnp.uint8),
         pltpu.SemaphoreType.DMA((block,)),
     ]
+
+    @jax.jit
+    def prepare_rows(dataset_u8: jax.Array) -> jax.Array:
+        """One-time relayout: (N, H, W, C) uint8 -> (N, H, wcp) DMA-tile-
+        aligned rows. Production callers hold THIS resident and pass it to
+        augment(); passing the 4-D dataset re-pads every call."""
+        n = dataset_u8.shape[0]
+        rows = dataset_u8.reshape(n, h, wc)
+        return jnp.pad(rows, ((0, 0), (0, 0), (0, wcp - wc)))
 
     @partial(jax.jit, static_argnames=())
     def augment(key: jax.Array, dataset_u8: jax.Array,
@@ -142,7 +165,14 @@ def make_pallas_augment(
         offs = jax.random.randint(kc, (n_imgs, 2), 0, 2 * pad + 1)
         flips = jax.random.bernoulli(kf, 0.5, (n_imgs,))
 
-        ds_rows = dataset_u8.reshape(dataset_u8.shape[0], h, wc)
+        if dataset_u8.ndim == 4:
+            ds_rows = prepare_rows(dataset_u8)
+        elif dataset_u8.shape[-1] == wcp:
+            ds_rows = dataset_u8
+        else:
+            raise ValueError(
+                f"dataset rows must be (N, {h}, {wcp}) from prepare_rows "
+                f"or the raw (N, {h}, {w}, {c}); got {dataset_u8.shape}")
         spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_imgs // block,),
@@ -161,10 +191,12 @@ def make_pallas_augment(
             offs[:, 1].astype(jnp.int32),
             flips.astype(jnp.int32),
             ds_rows,
-            jnp.asarray(flip_p),
+            jnp.asarray(colmap_id),
+            jnp.asarray(colmap_flip),
             jnp.asarray(mean_row),
             jnp.asarray(std_row),
         )
         return out.reshape(n_imgs, h, w, c)
 
+    augment.prepare_rows = prepare_rows
     return augment
