@@ -93,6 +93,18 @@ def main(n=50_000, batch_size=256, rounds=2):
 
     variants["epoch-scan"] = (run_scan, fresh_state())
 
+    # epoch-scan + Pallas fused gather/augment input stage
+    epoch_fn_pal = make_epoch_train_fn(model, True, batch_size, pad=4,
+                                       input_stage="pallas")
+    ep_pal = [0]
+
+    def run_scan_pal(state):
+        ep_pal[0] += 1
+        return epoch_fn_pal(state, xs, ys,
+                            jax.random.fold_in(jax.random.key(7), ep_pal[0]))
+
+    variants["scan-pallas"] = (run_scan_pal, fresh_state())
+
     # compile/warm each variant once
     for name, (run, state) in variants.items():
         state, m = run(state)

@@ -71,6 +71,7 @@ def make_epoch_train_fn(
     wm_batch: int = 2,
     out_dtype=jnp.float32,
     mesh: Optional[Mesh] = None,
+    input_stage: str = "xla",
 ):
     """Build epoch_fn(state, images_u8, labels, epoch_key[, wm_images_u8,
     wm_labels]) -> (state, mean_metrics).
@@ -83,6 +84,13 @@ def make_epoch_train_fn(
     mesh: run the scan SPMD over the mesh's 'batch' axis (see module
     docstring). batch_size must divide by the axis size; the V3 trigger
     batch is padded up to divisibility with weight-0 samples.
+
+    input_stage: 'xla' (gather + fused crop/flip/normalize, the default) or
+    'pallas' (ops/pallas_augment.py — per-image DMA gather fused with the
+    augment in one kernel; measured 1.56x the XLA stage at bs 256 on v5e).
+    'pallas' is single-device: a pallas_call is opaque to SPMD partitioning,
+    so meshes keep the XLA stage. Same RNG draws => both stages produce
+    bit-identical batches (tests/test_pallas_augment.py).
     """
     n_shards = 1
     if mesh is not None:
@@ -92,6 +100,18 @@ def make_epoch_train_fn(
                 f"epoch scan on a {n_shards}-way batch mesh needs "
                 f"batch_size % {n_shards} == 0, got {batch_size}"
             )
+    if input_stage not in ("xla", "pallas"):
+        raise ValueError(f"input_stage must be 'xla' or 'pallas', "
+                         f"got {input_stage!r}")
+    if input_stage == "pallas":
+        if n_shards > 1:
+            raise ValueError(
+                "input_stage='pallas' is single-device (the fused gather "
+                "kernel is opaque to SPMD partitioning); use 'xla' on meshes")
+        if not (random_crop and pad > 0):
+            raise ValueError(
+                "input_stage='pallas' implements the train transform "
+                "(random crop + flip); random_crop=False keeps 'xla'")
 
     # V3 trigger take per step: exactly wm_batch single-chip; rounded up to
     # shard divisibility on a mesh (the extras carry loss weight 0, like the
@@ -121,6 +141,31 @@ def make_epoch_train_fn(
     ):
         steps, perm = epoch_permutation(epoch_key, images_u8.shape[0],
                                         batch_size)
+
+        step_fn = raw_step
+        if input_stage == "pallas":
+            from deepipr_tpu.ops.pallas_augment import make_pallas_augment
+
+            _, h_, w_, c_ = images_u8.shape
+            pal = make_pallas_augment(
+                pad, height=h_, width=w_, channels=c_, out_dtype=out_dtype,
+                interpret=jax.default_backend() == "cpu")
+            # one DMA-tile-aligned relayout per epoch call (u8 writes, <3%
+            # of the epoch's HBM traffic); the kernel gathers straight from
+            # these rows, so no gathered uint8 batch is ever materialized
+            ds_rows = pal.prepare_rows(images_u8)
+            step_fn = make_train_step(
+                model, private, split_branches=split_branches,
+                device_augment=lambda key, packed: pal(key, *packed),
+                remat=remat, jit=False,
+            )
+
+            def get_image(idx):
+                return (ds_rows, idx)
+        else:
+
+            def get_image(idx):
+                return _constrain(images_u8[idx])
         wm_perm = None
         if wm_images_u8 is not None:
             # fresh per-epoch shuffle of the trigger set, cycled across the
@@ -132,7 +177,7 @@ def make_epoch_train_fn(
 
         def body(state, args):
             t, idx = args
-            batch = {"image": _constrain(images_u8[idx]),
+            batch = {"image": get_image(idx),
                      "label": _constrain(labels[idx])}
             if wm_images_u8 is not None:
                 m = wm_images_u8.shape[0]
@@ -147,7 +192,7 @@ def make_epoch_train_fn(
                         jnp.ones(batch_size + wm_batch, jnp.float32),
                         jnp.zeros(wm_take - wm_batch, jnp.float32),
                     ]))
-            return raw_step(state, batch)
+            return step_fn(state, batch)
 
         state, metrics = jax.lax.scan(
             body, state, (jnp.arange(steps), perm))

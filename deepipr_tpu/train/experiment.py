@@ -284,6 +284,14 @@ class ClassificationExperiment(Experiment):
             )
 
             self._wm_batch = 2  # reference trigger batch (dataset.py:188-191)
+            input_stage = "xla"
+            if self.args.get("pallas_input"):
+                if self.mesh is not None and self.mesh.size > 1:
+                    print("WARNING: --pallas-input is single-chip (the fused "
+                          "gather kernel is opaque to SPMD); using the XLA "
+                          "input stage on this mesh")
+                else:
+                    input_stage = "pallas"
             self.epoch_fn = make_epoch_train_fn(
                 self.model, self.private, self.batch_size,
                 pad=int((4 / 32) * self.imgcrop),
@@ -291,6 +299,7 @@ class ClassificationExperiment(Experiment):
                 else jnp.float32,
                 wm_batch=self._wm_batch,
                 mesh=self.mesh,
+                input_stage=input_stage,
             )
             self._resident = device_resident(
                 self.train_data.images, self.train_data.labels,

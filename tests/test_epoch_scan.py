@@ -204,3 +204,55 @@ class TestMeshEpochScan:
         model = tiny_passport_model(private=True)
         with pytest.raises(ValueError, match="batch_size"):
             make_epoch_train_fn(model, True, 12, 2, mesh=make_mesh())
+
+
+class TestPallasInputStage:
+    """input_stage='pallas' (fused DMA gather + augment kernel) must train
+    identically to the XLA input stage — same RNG draws, bit-identical
+    batches (tests/test_pallas_augment.py), same step math."""
+
+    @pytest.mark.parametrize("v3", [False, True])
+    def test_pallas_epoch_matches_xla_epoch(self, v3):
+        model = tiny_passport_model(private=True)
+        x, y = u8_data()
+        wm = device_resident(*u8_data(n=6, seed=5)) if v3 else ()
+        bs, pad = 16, 2
+        state0 = make_state(model, jnp.zeros((2, 16, 16, 3)))
+        host = jax.tree.map(np.asarray, state0)
+        key = jax.random.key(21)
+        xs, ys = device_resident(x, y)
+
+        out = {}
+        for stage in ("xla", "pallas"):
+            fn = make_epoch_train_fn(model, True, bs, pad, input_stage=stage)
+            s = jax.tree.map(jnp.asarray, host)
+            s, m = fn(s, xs, ys, key, *wm)
+            out[stage] = (s, m)
+
+        s_x, m_x = out["xla"]
+        s_p, m_p = out["pallas"]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_p.params), jax.device_get(s_x.params))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            jax.device_get(s_p.batch_stats), jax.device_get(s_x.batch_stats))
+        for k in m_x:
+            assert float(m_p[k]) == pytest.approx(
+                float(m_x[k]), rel=1e-4, abs=1e-5), k
+
+    def test_pallas_rejected_on_mesh(self):
+        from deepipr_tpu.parallel import make_mesh
+
+        model = tiny_passport_model(private=True)
+        with pytest.raises(ValueError, match="single-device"):
+            make_epoch_train_fn(model, True, 16, 2, mesh=make_mesh(),
+                                input_stage="pallas")
+
+    def test_pallas_requires_random_crop(self):
+        model = tiny_passport_model(private=True)
+        with pytest.raises(ValueError, match="random_crop"):
+            make_epoch_train_fn(model, True, 16, 2, random_crop=False,
+                                input_stage="pallas")

@@ -71,6 +71,12 @@ def build_parser():
                         "on-device augmentation (single-chip, in-memory "
                         "datasets; ~2x end-to-end vs per-step dispatch on "
                         "transfer-bound hosts)")
+    p.add_argument("--pallas-input", action="store_true", default=False,
+                   help="with --epoch-scan: use the Pallas fused DMA gather "
+                        "+ crop/flip/normalize input stage "
+                        "(ops/pallas_augment.py; 1.56x the XLA stage on "
+                        "v5e, bit-identical batches). Single-chip only — "
+                        "meshes keep the XLA stage")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="save last.ckpt every N epochs (default 1 = the "
                         "reference's cadence; raise on hosts where the "
