@@ -221,6 +221,7 @@ class StreamingImageFolder:
         cache_dir: str = None,
         num_shards: int = 1,
         shard_id: int = 0,
+        raw: bool = False,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -238,6 +239,11 @@ class StreamingImageFolder:
         self.shard_id = shard_id
         self.decode_size = int(round(size * resize_ratio))
         self.cache_dir = cache_dir
+        # raw=True ships uint8 batches (4x less H2D than f32); the crop/flip
+        # still happen host-side (RandomResizedCrop is not expressible as the
+        # device pad-crop) — only the normalize moves onto the chip
+        # (experiment.py wires normalize_device as the device transform).
+        self.raw = raw
         self.epoch = 0
 
         self.classes = sorted(
@@ -321,8 +327,9 @@ class StreamingImageFolder:
             for i in range(0, end, self.batch_size):
                 sel = idx[i:i + self.batch_size]
                 imgs = list(pool.map(lambda j: self._example(j, epoch), sel))
+                batch = np.stack(imgs)
                 yield {
-                    "image": normalize(np.stack(imgs)),
+                    "image": batch if self.raw else normalize(batch),
                     "label": self.labels[sel],
                 }
 
@@ -509,6 +516,7 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
             os.path.join(base, "train"), bs, train=not is_tl, shuffle=True,
             drop_last=True, seed=args.get("seed", 0), workers=workers,
             cache_dir=cache, num_shards=num_shards, shard_id=shard_id,
+            raw=bool(args.get("device_augment")) and not is_tl,
         )
         test_loader = StreamingImageFolder(
             os.path.join(base, "val"), bs * 2, train=False, workers=workers,

@@ -156,12 +156,23 @@ class ClassificationExperiment(Experiment):
 
         self.device_augment = None
         if self.args.get("device_augment"):
-            if self.is_tl or self.dataset == "imagenet1000":
-                # TL disables random crop; the ImageNet streamer fuses its
-                # transform into decode — both stay on the host path.
-                print("WARNING: --device-augment ignored for this scheme/"
-                      "dataset; using the host augmentation path")
+            if self.is_tl:
+                # TL disables random crop — stays on the host path.
+                print("WARNING: --device-augment ignored for transfer "
+                      "learning; using the host augmentation path")
                 self.args["device_augment"] = False
+            elif self.dataset == "imagenet1000":
+                # The ImageNet streamer fuses RandomResizedCrop+flip into
+                # decode (not expressible as the device pad-crop), so raw
+                # shipping moves only the normalize on-device — still a 4x
+                # H2D cut on the 224px batches (dataset.py StreamingImageFolder
+                # raw=True; measured in benchmarks/bench_streaming_imagenet.py).
+                from deepipr_tpu.data.device_augment import normalize_device
+
+                out_dtype = (jnp.bfloat16 if self.args.get("bf16")
+                             else jnp.float32)
+                self.device_augment = (
+                    lambda key, x: normalize_device(x, out_dtype))
             else:
                 from deepipr_tpu.data.device_augment import make_device_augment
 

@@ -112,6 +112,35 @@ class TestStreamingImageFolder:
         b = next(iter(test))
         assert b["image"].shape[1:] == (224, 224, 3)
 
+    def test_raw_ships_uint8_same_pixels(self, image_root):
+        """raw=True must yield the exact uint8 crops the f32 path normalizes
+        (the device-side normalize is the only moved work)."""
+        from deepipr_tpu.data.datasets import normalize
+
+        kw = dict(batch_size=8, size=32, train=True, shuffle=True,
+                  drop_last=True, seed=3, resize_ratio=1.0, workers=2)
+        f32 = StreamingImageFolder(image_root, **kw)
+        u8 = StreamingImageFolder(image_root, raw=True, **kw)
+        for bf, bu in zip(f32, u8):
+            assert bu["image"].dtype == np.uint8
+            np.testing.assert_allclose(normalize(bu["image"]), bf["image"],
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_array_equal(bf["label"], bu["label"])
+
+    def test_prepare_dataset_imagenet_device_augment_raw(self, image_root,
+                                                         tmp_path):
+        base = tmp_path / "ILSVRC2012"
+        base.mkdir()
+        for split in ("train", "val"):
+            (base / split).symlink_to(image_root)
+        args = {"dataset": "imagenet1000", "batch_size": 4,
+                "data_root": str(tmp_path), "tl_dataset": "synthetic",
+                "device_augment": True}
+        train, test = prepare_dataset(args)
+        assert train.raw  # uint8 to the chip; normalize moves on-device
+        assert not test.raw  # eval batches stay host-normalized f32
+        assert next(iter(train))["image"].dtype == np.uint8
+
 
 class TestCaltech:
     def test_80_20_per_class_split(self, image_root):
