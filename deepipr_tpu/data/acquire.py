@@ -1,0 +1,162 @@
+"""Dataset acquisition: archive extraction + gated download.
+
+Parity with the reference's Caltech download/untar machinery
+(reference dataset.py:14-139): the reference's Caltech101/Caltech256
+Dataset classes download `101_ObjectCategories.tar.gz` /
+`256_ObjectCategories.tar` into `root` and extract them in place before
+indexing `root/<foldername>/<class>/<img>`.
+
+This rebuild's environment is zero-egress, so the network leg is opt-in
+(`allow_download=True`); the primary path is a pre-placed archive:
+
+    data/caltech-101/101_ObjectCategories.tar.gz   -> auto-extracted
+    data/caltech-101/101_ObjectCategories/...      -> used directly
+
+Extraction is hardened beyond the reference (which `tar.extractall()`s
+with no member validation): absolute paths, `..` components, and
+link members escaping the destination are rejected.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ArchiveSpec:
+    """One downloadable dataset archive (reference dataset.py:15-17,136-139)."""
+
+    url: str
+    filename: str
+    foldername: str
+
+
+ARCHIVES = {
+    "caltech-101": ArchiveSpec(
+        url="http://www.vision.caltech.edu/Image_Datasets/Caltech101/"
+            "101_ObjectCategories.tar.gz",
+        filename="101_ObjectCategories.tar.gz",
+        foldername="101_ObjectCategories",
+    ),
+    "caltech-256": ArchiveSpec(
+        url="http://www.vision.caltech.edu/Image_Datasets/Caltech256/"
+            "256_ObjectCategories.tar",
+        filename="256_ObjectCategories.tar",
+        foldername="256_ObjectCategories",
+    ),
+}
+
+
+def _check_member(member: tarfile.TarInfo, dest: str) -> None:
+    """Reject archive members that would write outside `dest`."""
+    target = os.path.realpath(os.path.join(dest, member.name))
+    base = os.path.realpath(dest)
+    if not (target == base or target.startswith(base + os.sep)):
+        raise ValueError(f"unsafe archive member path: {member.name!r}")
+    if member.islnk() or member.issym():
+        link = os.path.realpath(os.path.join(os.path.dirname(target),
+                                             member.linkname))
+        if not link.startswith(base + os.sep):
+            raise ValueError(f"unsafe archive link: {member.name!r} -> "
+                             f"{member.linkname!r}")
+    if member.isdev():
+        raise ValueError(f"device member in archive: {member.name!r}")
+
+
+def extract_archive(archive_path: str, dest: str) -> None:
+    """Extract a .tar / .tar.gz into `dest` (reference dataset.py:96-105),
+    validating every member path first."""
+    mode = "r:gz" if archive_path.endswith(".gz") else "r"
+    with tarfile.open(archive_path, mode) as tar:
+        members = tar.getmembers()
+        for m in members:
+            _check_member(m, dest)
+        tar.extractall(dest, members=members, filter="data")
+
+
+def download_url(url: str, fpath: str) -> None:
+    """Fetch `url` to `fpath`, retrying https->http like the reference
+    (dataset.py:107-130). Only called when allow_download=True."""
+    from urllib import request
+
+    os.makedirs(os.path.dirname(fpath) or ".", exist_ok=True)
+    try:
+        print(f"Downloading {url} to {fpath}")
+        request.urlretrieve(url, fpath)
+    except Exception:
+        if url.startswith("https:"):
+            alt = url.replace("https:", "http:", 1)
+            print(f"Failed download. Trying https -> http instead. "
+                  f"Downloading {alt} to {fpath}")
+            request.urlretrieve(alt, fpath)
+        else:
+            raise
+
+
+def prepare_archive(root: str, name_or_spec, *,
+                    allow_download: bool = False) -> str:
+    """Ensure `root/<foldername>` exists; return its path.
+
+    Resolution order (mirrors reference dataset.py:89-105 download()):
+      1. already extracted -> return it
+      2. archive file present at root/<filename> -> extract
+      3. allow_download -> download then extract
+      4. raise FileNotFoundError with placement instructions
+
+    `name_or_spec`: an ARCHIVES key (e.g. "caltech-101") or an ArchiveSpec.
+    """
+    spec = (ARCHIVES[name_or_spec] if isinstance(name_or_spec, str)
+            else name_or_spec)
+    folder = os.path.join(root, spec.foldername)
+    if os.path.isdir(folder):
+        return folder
+
+    fpath = os.path.join(root, spec.filename)
+    if not os.path.exists(fpath):
+        if not allow_download:
+            raise FileNotFoundError(
+                f"{folder} not found and {spec.filename} is not present in "
+                f"{root}. Place the archive there (or the extracted "
+                f"{spec.foldername}/ tree), or pass --download / "
+                f"allow_download=True to fetch {spec.url} "
+                f"(requires network egress)."
+            )
+        download_url(spec.url, fpath)
+
+    extract_archive(fpath, root)
+    if not os.path.isdir(folder):
+        raise FileNotFoundError(
+            f"extracting {fpath} did not produce {folder}; archive layout "
+            f"does not match the expected {spec.foldername}/ root")
+    return folder
+
+
+def locate_caltech(root: str, dataset: str, *,
+                   allow_download: bool = False) -> Optional[str]:
+    """Find (or materialize) the class-folder root for a Caltech dataset.
+
+    `root` is the dataset dir from prepare_dataset (e.g. data/caltech-101).
+    Returns the directory whose children are class folders:
+      - root itself, if it already holds class dirs (flat layout used by
+        the rest of this repo and its tests)
+      - root/<foldername>, extracted from an archive if needed (the
+        reference's layout, dataset.py:43-48)
+    Returns None when nothing can be located without downloading.
+    """
+    spec = ARCHIVES[dataset]
+    if os.path.isdir(root):
+        entries = os.listdir(root)
+        if spec.foldername in entries and os.path.isdir(
+                os.path.join(root, spec.foldername)):
+            return os.path.join(root, spec.foldername)
+        if any(os.path.isdir(os.path.join(root, e)) for e in entries):
+            return root  # flat <class>/<img> layout
+    try:
+        return prepare_archive(root, spec, allow_download=allow_download)
+    except FileNotFoundError:
+        if allow_download:
+            raise
+        return None

@@ -499,8 +499,17 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
     elif ds in ("cifar10", "cifar100"):
         tx, ty, vx, vy = load_cifar(os.path.join(root, ds), ds)
     elif ds in ("caltech-101", "caltech-256"):
+        from deepipr_tpu.data.acquire import locate_caltech
+
         nc = 101 if ds == "caltech-101" else 256
-        tx, ty, vx, vy = load_caltech(os.path.join(root, ds), nc)
+        droot = locate_caltech(os.path.join(root, ds), ds,
+                               allow_download=bool(args.get("download")))
+        if droot is None:
+            raise FileNotFoundError(
+                f"{ds} not found under {os.path.join(root, ds)}; place the "
+                f"extracted class folders or the reference archive there, "
+                f"or pass --download (reference dataset.py:89-130)")
+        tx, ty, vx, vy = load_caltech(droot, nc)
     elif ds == "imagenet1000":
         # streamed, not loaded: ImageNet train is ~190 GB decoded
         base = os.path.join(root, "ILSVRC2012")

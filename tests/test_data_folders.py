@@ -179,3 +179,103 @@ class TestMultiHostSharding:
         with pytest.raises(ValueError):
             StreamingImageFolder(image_root, batch_size=5, num_shards=2,
                                  shard_id=2)
+
+
+class TestAcquire:
+    """Archive extraction + gated download (reference dataset.py:14-139)."""
+
+    @staticmethod
+    def _make_archive(dest_dir, foldername="101_ObjectCategories", gz=True,
+                      classes=("ant", "bee"), n=6):
+        """Build a tiny Caltech-shaped tarball at dest_dir/<filename>."""
+        import tarfile
+
+        rng = np.random.default_rng(1)
+        src = dest_dir / "_src"
+        for cls in classes:
+            d = src / foldername / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 256, (36, 42, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"image_{i:04d}.jpg")
+        fname = foldername + (".tar.gz" if gz else ".tar")
+        fpath = dest_dir / fname
+        with tarfile.open(fpath, "w:gz" if gz else "w") as tar:
+            tar.add(src / foldername, arcname=foldername)
+        import shutil
+
+        shutil.rmtree(src)
+        return fpath
+
+    def test_prepare_archive_extracts_tarball(self, tmp_path):
+        from deepipr_tpu.data.acquire import ARCHIVES, prepare_archive
+
+        root = tmp_path / "caltech-101"
+        root.mkdir()
+        self._make_archive(root)
+        folder = prepare_archive(str(root), "caltech-101")
+        assert folder == str(root / ARCHIVES["caltech-101"].foldername)
+        assert sorted(os.listdir(folder)) == ["ant", "bee"]
+        # idempotent: second call returns the extracted tree directly
+        assert prepare_archive(str(root), "caltech-101") == folder
+
+    def test_prepare_dataset_from_archive_only(self, tmp_path):
+        """End-to-end: prepare_dataset auto-extracts a pre-placed archive."""
+        root = tmp_path / "caltech-101"
+        root.mkdir()
+        self._make_archive(root)
+        args = {"dataset": "caltech-101", "batch_size": 4,
+                "data_root": str(tmp_path), "tl_dataset": "synthetic"}
+        train, test = prepare_dataset(args)
+        b = next(iter(test))
+        assert b["image"].shape[1:] == (32, 32, 3)
+
+    def test_missing_archive_raises_with_guidance(self, tmp_path):
+        args = {"dataset": "caltech-256", "batch_size": 4,
+                "data_root": str(tmp_path), "tl_dataset": "synthetic"}
+        with pytest.raises(FileNotFoundError, match="--download"):
+            prepare_dataset(args)
+
+    def test_unsafe_member_rejected(self, tmp_path):
+        import io
+        import tarfile
+
+        from deepipr_tpu.data.acquire import extract_archive
+
+        fpath = tmp_path / "evil.tar"
+        with tarfile.open(fpath, "w") as tar:
+            info = tarfile.TarInfo("../../escape.txt")
+            data = b"pwned"
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        with pytest.raises(ValueError, match="unsafe"):
+            extract_archive(str(fpath), str(tmp_path / "dest"))
+        assert not (tmp_path.parent / "escape.txt").exists()
+
+    def test_download_gated_then_mocked_fetch(self, tmp_path, monkeypatch):
+        """allow_download drives download_url (mocked: zero-egress env)."""
+        from urllib import request
+
+        from deepipr_tpu.data import acquire
+
+        root = tmp_path / "caltech-101"
+        root.mkdir()
+        stash = tmp_path / "stash"
+        stash.mkdir()
+        archive = self._make_archive(stash)
+
+        def fake_retrieve(url, fpath):
+            import shutil
+
+            assert "101_ObjectCategories" in url
+            shutil.copy(archive, fpath)
+
+        monkeypatch.setattr(request, "urlretrieve", fake_retrieve)
+        folder = acquire.prepare_archive(str(root), "caltech-101",
+                                         allow_download=True)
+        assert sorted(os.listdir(folder)) == ["ant", "bee"]
+
+    def test_locate_flat_layout_unchanged(self, image_root):
+        from deepipr_tpu.data.acquire import locate_caltech
+
+        assert locate_caltech(image_root, "caltech-101") == image_root

@@ -46,6 +46,10 @@ def build_parser():
                    default="passport_configs/alexnet_passport.json")
     p.add_argument("--trigger-path", default="data/trigger_set/pics")
     p.add_argument("--data-root", default="data")
+    p.add_argument("--download", action="store_true", default=False,
+                   help="fetch + extract missing Caltech archives "
+                        "(reference dataset.py:89-130; needs egress — "
+                        "without it a pre-placed archive is auto-extracted)")
     p.add_argument("--logdir", default="logs")
     p.add_argument("--workers", type=int, default=16,
                    help="decode threads for the streaming ImageNet loader")
