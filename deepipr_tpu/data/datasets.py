@@ -135,16 +135,26 @@ def load_image_folder(root: str, size: int = 224, center_crop: bool = True,
     return np.stack(xs), np.asarray(ys, np.int32), classes
 
 
-def load_caltech(root: str, num_classes: int, size: int = 32, seed: int = 7):
-    """Caltech-101/256 with the reference's per-class 80/20 split and
-    Resize+CenterCrop transform (dataset.py:14-139, 274-278)."""
+def load_caltech(root: str, num_classes: int, size: int = 32, seed: int = 7,
+                 split: str = "shuffled"):
+    """Caltech-101/256 with the per-class 80/20 split and Resize+CenterCrop
+    transform (dataset.py:14-139, 274-278).
+
+    split="shuffled" (default): seeded per-class shuffle before the 80/20
+    cut — avoids ordering bias in folders sorted by acquisition session.
+    split="reference": the reference's exact deterministic split — first
+    80% of each class in sorted-filename order is train (dataset.py:57-61).
+    """
     x, y, _ = load_image_folder(root, size=size, center_crop=True,
                                 resize_ratio=1.0)
+    if split not in ("shuffled", "reference"):
+        raise ValueError(f"unknown split {split!r}")
     rng = np.random.default_rng(seed)
     train_idx, test_idx = [], []
     for c in np.unique(y):
         idx = np.where(y == c)[0]
-        rng.shuffle(idx)
+        if split == "shuffled":
+            rng.shuffle(idx)
         k = int(0.8 * len(idx))
         train_idx.extend(idx[:k])
         test_idx.extend(idx[k:])

@@ -279,3 +279,24 @@ class TestAcquire:
         from deepipr_tpu.data.acquire import locate_caltech
 
         assert locate_caltech(image_root, "caltech-101") == image_root
+
+
+class TestCaltechReferenceSplit:
+    def test_reference_split_is_first_80pct_sorted(self, image_root):
+        """split='reference': first 80% of each class in sorted-filename
+        order is train (reference dataset.py:57-61), deterministically."""
+        tx, ty, vx, vy = load_caltech(image_root, 3, split="reference")
+        x, y, _ = load_image_folder(image_root, size=32, center_crop=True,
+                                    resize_ratio=1.0)
+        # per class: 10 images -> 8 train / 2 test, in file order
+        assert len(ty) == 24 and len(vy) == 6
+        for c in range(3):
+            np.testing.assert_array_equal(tx[ty == c], x[y == c][:8])
+            np.testing.assert_array_equal(vx[vy == c], x[y == c][8:])
+        # deterministic across calls
+        tx2, *_ = load_caltech(image_root, 3, split="reference")
+        np.testing.assert_array_equal(tx, tx2)
+
+    def test_unknown_split_rejected(self, image_root):
+        with pytest.raises(ValueError, match="split"):
+            load_caltech(image_root, 3, split="bogus")
