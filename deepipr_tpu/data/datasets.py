@@ -232,6 +232,7 @@ class StreamingImageFolder:
         num_shards: int = 1,
         shard_id: int = 0,
         raw: bool = False,
+        draft: bool = True,
     ):
         self.root = root
         self.batch_size = batch_size
@@ -254,6 +255,7 @@ class StreamingImageFolder:
         # device pad-crop) — only the normalize moves onto the chip
         # (experiment.py wires normalize_device as the device transform).
         self.raw = raw
+        self.draft = draft
         self.epoch = 0
 
         self.classes = sorted(
@@ -289,7 +291,18 @@ class StreamingImageFolder:
             cpath = os.path.join(self.cache_dir, rel + ".npy")
             if os.path.exists(cpath):
                 return np.load(cpath)
-        img = Image.open(os.path.join(self.root, rel)).convert("RGB")
+        img = Image.open(os.path.join(self.root, rel))
+        if self.draft:
+            # JPEG DCT-domain downscale during decode: libjpeg decodes at
+            # 1/2, 1/4 or 1/8 scale when the source is that much larger than
+            # decode_size (short side stays >= decode_size, so the resize
+            # below remains a downscale). No-op for non-JPEG or sources
+            # under 2x the target. The reference decodes full-size always
+            # (dataset.py:204-218); this trades sub-Nyquist high-frequency
+            # content the resize would discard anyway for 2-4x decode rate
+            # on large-image folders.
+            img.draft("RGB", (self.decode_size, self.decode_size))
+        img = img.convert("RGB")
         arr = np.asarray(_short_side_resize(img, self.decode_size), np.uint8)
         if self.cache_dir is not None:
             os.makedirs(os.path.dirname(cpath), exist_ok=True)
