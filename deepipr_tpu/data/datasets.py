@@ -544,15 +544,16 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
             num_shards, shard_id = jax.process_count(), jax.process_index()
         else:
             num_shards, shard_id = 1, 0
+        draft = bool(args.get("draft", True))
         train_loader = StreamingImageFolder(
             os.path.join(base, "train"), bs, train=not is_tl, shuffle=True,
             drop_last=True, seed=args.get("seed", 0), workers=workers,
             cache_dir=cache, num_shards=num_shards, shard_id=shard_id,
-            raw=bool(args.get("device_augment")) and not is_tl,
+            raw=bool(args.get("device_augment")) and not is_tl, draft=draft,
         )
         test_loader = StreamingImageFolder(
             os.path.join(base, "val"), bs * 2, train=False, workers=workers,
-            cache_dir=cache,
+            cache_dir=cache, draft=draft,
         )
         return train_loader, test_loader
     else:

@@ -337,3 +337,18 @@ class TestDraftDecode:
         off = StreamingImageFolder(image_root, draft=False, **kw)
         np.testing.assert_array_equal(next(iter(on))["image"],
                                       next(iter(off))["image"])
+
+
+def test_prepare_dataset_plumbs_no_draft(tmp_path, image_root):
+    base = tmp_path / "ILSVRC2012"
+    base.mkdir()
+    for split in ("train", "val"):
+        (base / split).symlink_to(image_root)
+    args = {"dataset": "imagenet1000", "batch_size": 4,
+            "data_root": str(tmp_path), "tl_dataset": "synthetic",
+            "draft": False}
+    train, test = prepare_dataset(args)
+    assert not train.draft and not test.draft
+    args["draft"] = True
+    train, test = prepare_dataset(args)
+    assert train.draft and test.draft

@@ -53,6 +53,10 @@ def build_parser():
     p.add_argument("--logdir", default="logs")
     p.add_argument("--workers", type=int, default=16,
                    help="decode threads for the streaming ImageNet loader")
+    p.add_argument("--no-draft", dest="draft", action="store_false",
+                   default=True,
+                   help="disable JPEG DCT-domain draft decode in the "
+                        "streaming loader (full-resolution decode)")
     p.add_argument("--imagenet-cache",
                    help="directory for the resized-uint8 ImageNet decode "
                         "cache (epochs after the first skip JPEG decode)")
