@@ -39,6 +39,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--separate-stats", action="store_true",
                    help="the attacked checkpoint was trained with per-branch "
                         "BN stats (train CLI --separate-stats)")
+    p.add_argument("--trigger-path", default="data/trigger_set/pics",
+                   help="V3 trigger set (scheme 3): attacks also report "
+                        "black-box WM accuracy per row (the reference's "
+                        "trigger-set verification, trainer.py:115-126)")
     return p
 
 
@@ -144,6 +148,22 @@ def make_loaders(args):
         "data_root": args.data_root,
         "seed": args.seed,
     })
+
+
+def make_wm_loader(args, size: int):
+    """V3 black-box verification data: the trigger set, when scheme==3 and
+    the WatermarkNN layout (or an archive) is present; else None."""
+    if getattr(args, "scheme", None) != 3:
+        return None
+    from deepipr_tpu.data.datasets import prepare_wm
+
+    try:
+        return prepare_wm(args.trigger_path, crop=size, shuffle=False,
+                          seed=args.seed)
+    except FileNotFoundError as e:
+        print(f"WARNING: scheme 3 but no trigger set ({e}); "
+              "wm_acc columns omitted")
+        return None
 
 
 def write_history_csv(history: List[Dict], dirname: str, filename: str):

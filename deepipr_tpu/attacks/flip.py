@@ -69,11 +69,15 @@ def flip_attack(
     percents=(0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100),
     seed: int = 0,
     flip_paths: List[str] = None,
+    wm_data=None,
 ) -> List[Dict]:
     """Sweep flip levels; one history row per level.
 
     flip_paths (reference --fidxs) restricts flipping to specific layers;
     default: all passport layers.
+
+    wm_data (V3): trigger-set loader — rows gain black-box WM accuracy of
+    the flipped model (reference trainer.py:115-126 verification surface).
     """
     affines = derived_affines(model, state.model_variables(), input_shape, private)
     detection = detect_signature_from_affines(affines)
@@ -101,6 +105,8 @@ def flip_attack(
         row["detect_mean"] = float(np.mean(list(detection.values())))
         row["similarity"] = similarity
         row.update(run_eval(eval_step, pstate, valid_data))
+        if wm_data is not None:
+            row["wm_acc"] = run_eval(eval_step, pstate, wm_data)["acc"]
         row["perc"] = perc
         history.append(row)
     return history

@@ -42,11 +42,19 @@ def pruning_attack(
     input_shape,
     private: bool,
     percents=(0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100),
+    wm_data=None,
 ) -> List[Dict]:
-    """Sweep pruning levels; one history row per level."""
+    """Sweep pruning levels; one history row per level.
+
+    wm_data (V3): trigger-set loader — each row also records black-box WM
+    accuracy (wm_acc = public/deployed forward; wm_acc_private for private
+    models), the reference's trigger-set verification surface
+    (experiments/trainer.py:115-126) under this attack."""
     # Reference evaluates the DEFAULT forward (pruning_attack.py:80: model(d)):
     # V1 always derives from passports; private models use the public branch.
     eval_step = make_eval_step(model, ind=0, force_passport=False)
+    wm_priv_step = (make_eval_step(model, ind=1)
+                    if wm_data is not None and private else None)
     prune_fn = jax.jit(global_prune, static_argnums=1)
 
     history = []
@@ -61,6 +69,11 @@ def pruning_attack(
         row["detect_mean"] = float(np.mean(list(
             detect_signature_from_affines(affines).values()))) if affines else 1.0
         row.update(run_eval(eval_step, pstate, valid_data))
+        if wm_data is not None:
+            row["wm_acc"] = run_eval(eval_step, pstate, wm_data)["acc"]
+            if wm_priv_step is not None:
+                row["wm_acc_private"] = run_eval(
+                    wm_priv_step, pstate, wm_data)["acc"]
         row["perc"] = perc
         history.append(row)
     return history

@@ -131,8 +131,12 @@ def reverse_attack(
     epochs: int = 100,
     lr: float = 0.01,
     seed: int = 0,
+    wm_data=None,
 ) -> List[Dict]:
-    """Full attack-2 loop; one history row per epoch (+ epoch-0 baseline)."""
+    """Full attack-2 loop; one history row per epoch (+ epoch-0 baseline).
+
+    wm_data (V3): per-epoch black-box WM accuracy of the attacked model —
+    does the backdoor survive affine-only retraining?"""
     state, similarity = build_attacked_normal_state(
         passport_model, passport_state, normal_model, input_shape,
         private, plpaths, flipperc, lr, seed,
@@ -142,8 +146,11 @@ def reverse_attack(
 
     history: List[Dict] = []
     val = run_eval(eval_step, state, valid_data)
-    history.append({"epoch": 0, "similarity": similarity,
-                    **{f"valid_{k}": v for k, v in val.items()}})
+    row0 = {"epoch": 0, "similarity": similarity,
+            **{f"valid_{k}": v for k, v in val.items()}}
+    if wm_data is not None:
+        row0["wm_acc"] = run_eval(eval_step, state, wm_data)["acc"]
+    history.append(row0)
 
     for ep in range(1, epochs + 1):
         sums: Dict[str, float] = {}
@@ -157,6 +164,8 @@ def reverse_attack(
         row = {f"train_{k}": v / nb for k, v in sums.items()}
         val = run_eval(eval_step, state, valid_data)
         row.update({f"valid_{k}": v for k, v in val.items()})
+        if wm_data is not None:
+            row["wm_acc"] = run_eval(eval_step, state, wm_data)["acc"]
         row["epoch"] = ep
         history.append(row)
     return history

@@ -47,7 +47,37 @@ ARCHIVES = {
         filename="256_ObjectCategories.tar",
         foldername="256_ObjectCategories",
     ),
+    # torchvision's CIFAR archives (the reference loads CIFAR via
+    # torchvision.datasets.CIFAR10/100, dataset.py:262-267, which fetch
+    # exactly these files)
+    "cifar10": ArchiveSpec(
+        url="https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+        filename="cifar-10-python.tar.gz",
+        foldername="cifar-10-batches-py",
+    ),
+    "cifar100": ArchiveSpec(
+        url="https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+        filename="cifar-100-python.tar.gz",
+        foldername="cifar-100-python",
+    ),
 }
+
+# The WatermarkNN trigger set (reference dataset.py:171-174 points users at
+# this repo). GitHub serves the whole repository as a tarball; the trigger
+# set lives at <repo>/data/trigger_set/{pics/, labels-cifar.txt}.
+WATERMARKNN = ArchiveSpec(
+    url="https://github.com/adiyoss/WatermarkNN/archive/refs/heads/"
+        "master.tar.gz",
+    filename="WatermarkNN.tar.gz",
+    foldername="WatermarkNN-master",
+)
+
+# archive filenames accepted as a pre-placed trigger set (searched in the
+# trigger-set dir and its parent)
+_WM_ARCHIVE_NAMES = (
+    "trigger_set.tar.gz", "trigger_set.tar", "trigger_set.zip",
+    "WatermarkNN.tar.gz", "WatermarkNN.zip", "master.tar.gz",
+)
 
 
 def _check_member(member: tarfile.TarInfo, dest: str) -> None:
@@ -66,9 +96,25 @@ def _check_member(member: tarfile.TarInfo, dest: str) -> None:
         raise ValueError(f"device member in archive: {member.name!r}")
 
 
+def _check_zip_member(name: str, dest: str) -> None:
+    """Reject zip members that would write outside `dest`."""
+    target = os.path.realpath(os.path.join(dest, name))
+    base = os.path.realpath(dest)
+    if not (target == base or target.startswith(base + os.sep)):
+        raise ValueError(f"unsafe archive member path: {name!r}")
+
+
 def extract_archive(archive_path: str, dest: str) -> None:
-    """Extract a .tar / .tar.gz into `dest` (reference dataset.py:96-105),
-    validating every member path first."""
+    """Extract a .tar / .tar.gz / .zip into `dest` (reference
+    dataset.py:96-105), validating every member path first."""
+    if archive_path.endswith(".zip"):
+        import zipfile
+
+        with zipfile.ZipFile(archive_path) as zf:
+            for name in zf.namelist():
+                _check_zip_member(name, dest)
+            zf.extractall(dest)
+        return
     mode = "r:gz" if archive_path.endswith(".gz") else "r"
     with tarfile.open(archive_path, mode) as tar:
         members = tar.getmembers()
@@ -152,7 +198,12 @@ def locate_caltech(root: str, dataset: str, *,
         if spec.foldername in entries and os.path.isdir(
                 os.path.join(root, spec.foldername)):
             return os.path.join(root, spec.foldername)
-        if any(os.path.isdir(os.path.join(root, e)) for e in entries):
+        # a present archive wins over the flat-layout heuristic: a stray
+        # directory next to the tarball (e.g. a partially extracted tree
+        # from an interrupted run) must not shadow the authoritative archive
+        if (spec.filename not in entries
+                and any(os.path.isdir(os.path.join(root, e))
+                        for e in entries)):
             return root  # flat <class>/<img> layout
     try:
         return prepare_archive(root, spec, allow_download=allow_download)
@@ -160,3 +211,79 @@ def locate_caltech(root: str, dataset: str, *,
         if allow_download:
             raise
         return None
+
+
+def locate_cifar(root: str, name: str, *,
+                 allow_download: bool = False) -> Optional[str]:
+    """Ensure `root/<batches-folder>` exists for CIFAR-10/100; return `root`.
+
+    `root` is the dataset dir from prepare_dataset (e.g. data/cifar10) —
+    the directory load_cifar expects to contain `cifar-10-batches-py/` or
+    `cifar-100-python/`. A pre-placed `cifar-10(0)-python.tar.gz` at `root`
+    is auto-extracted; `allow_download` fetches it from the torchvision URL
+    (reference dataset.py:262-267 delegates the same fetch to torchvision).
+    Returns None when nothing can be located without downloading.
+    """
+    spec = ARCHIVES[name]
+    if os.path.isdir(os.path.join(root, spec.foldername)):
+        return root
+    try:
+        prepare_archive(root, spec, allow_download=allow_download)
+        return root
+    except FileNotFoundError:
+        if allow_download:
+            raise
+        return None
+
+
+def _find_trigger_set(base: str):
+    """Locate pics/ + labels-cifar.txt under `base` (any nesting depth —
+    covers both the reference's flat layout and a WatermarkNN repo
+    checkout's data/trigger_set/)."""
+    direct = (os.path.join(base, "pics"), os.path.join(base, "labels-cifar.txt"))
+    if os.path.isdir(direct[0]) and os.path.exists(direct[1]):
+        return direct
+    for dirpath, dirnames, filenames in os.walk(base):
+        if "labels-cifar.txt" in filenames and "pics" in dirnames:
+            return (os.path.join(dirpath, "pics"),
+                    os.path.join(dirpath, "labels-cifar.txt"))
+    return None
+
+
+def locate_trigger_set(base: str = "data/trigger_set", *,
+                       allow_download: bool = False):
+    """Find (or materialize) the WatermarkNN trigger set.
+
+    Returns (pics_dir, labels_path) or None. Resolution order:
+      1. pics/ + labels-cifar.txt already under `base` (reference layout,
+         dataset.py:168-174), at any nesting depth;
+      2. a pre-placed archive in `base` or its parent (trigger_set.tar.gz /
+         .zip, or a WatermarkNN repo tarball) — extracted into `base`, then
+         searched as in 1;
+      3. allow_download: fetch the WatermarkNN repo tarball from GitHub.
+    """
+    if os.path.isdir(base):
+        found = _find_trigger_set(base)
+        if found:
+            return found
+    candidates = []
+    for d in (base, os.path.dirname(base) or "."):
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn in _WM_ARCHIVE_NAMES or (
+                        fn.startswith("WatermarkNN")
+                        and fn.endswith((".tar.gz", ".tar", ".zip"))):
+                    candidates.append(os.path.join(d, fn))
+    for fpath in candidates:
+        os.makedirs(base, exist_ok=True)
+        extract_archive(fpath, base)
+        found = _find_trigger_set(base)
+        if found:
+            return found
+    if allow_download:
+        os.makedirs(base, exist_ok=True)
+        fpath = os.path.join(base, WATERMARKNN.filename)
+        download_url(WATERMARKNN.url, fpath)
+        extract_archive(fpath, base)
+        return _find_trigger_set(base)
+    return None

@@ -249,7 +249,11 @@ class StreamingImageFolder:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.decode_size = int(round(size * resize_ratio))
-        self.cache_dir = cache_dir
+        # the draft flag changes decoded pixels (DCT-domain downscale), so
+        # draft and full decodes get disjoint cache trees — a cache populated
+        # under one setting is never silently reused by the other
+        self.cache_dir = (os.path.join(cache_dir, "draft" if draft else "full")
+                          if cache_dir is not None else None)
         # raw=True ships uint8 batches (4x less H2D than f32); the crop/flip
         # still happen host-side (RandomResizedCrop is not expressible as the
         # device pad-crop) — only the normalize moves onto the chip
@@ -520,7 +524,13 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
             num_test=args.get("synthetic_test", 512),
         )
     elif ds in ("cifar10", "cifar100"):
-        tx, ty, vx, vy = load_cifar(os.path.join(root, ds), ds)
+        from deepipr_tpu.data.acquire import locate_cifar
+
+        croot = os.path.join(root, ds)
+        # auto-extract a pre-placed cifar-10(0)-python.tar.gz (or fetch it
+        # with --download); falls through to load_cifar's placement error
+        locate_cifar(croot, ds, allow_download=bool(args.get("download")))
+        tx, ty, vx, vy = load_cifar(croot, ds)
     elif ds in ("caltech-101", "caltech-256"):
         from deepipr_tpu.data.acquire import locate_caltech
 
@@ -532,7 +542,8 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
                 f"{ds} not found under {os.path.join(root, ds)}; place the "
                 f"extracted class folders or the reference archive there, "
                 f"or pass --download (reference dataset.py:89-130)")
-        tx, ty, vx, vy = load_caltech(droot, nc)
+        tx, ty, vx, vy = load_caltech(
+            droot, nc, split=args.get("caltech_split", "shuffled"))
     elif ds == "imagenet1000":
         # streamed, not loaded: ImageNet train is ~190 GB decoded
         base = os.path.join(root, "ILSVRC2012")
@@ -571,16 +582,26 @@ def prepare_dataset(args: Dict) -> Tuple[DataLoader, DataLoader]:
 
 def prepare_wm(datapath: str = "data/trigger_set/pics", crop: int = 32,
                shuffle: bool = True, seed: int = 0,
-               raw: bool = False) -> DataLoader:
+               raw: bool = False, allow_download: bool = False) -> DataLoader:
     """Trigger-set loader: WatermarkNN layout, batch 2, drop_last."""
     from PIL import Image
 
     labelpath = os.path.join(os.path.dirname(datapath), "labels-cifar.txt")
+    if not os.path.exists(labelpath) or not os.path.isdir(datapath):
+        # pre-placed trigger_set / WatermarkNN-repo archive (or --download)
+        from deepipr_tpu.data.acquire import locate_trigger_set
+
+        found = locate_trigger_set(os.path.dirname(datapath),
+                                   allow_download=allow_download)
+        if found is not None:
+            datapath, labelpath = found
     if not os.path.exists(labelpath):
         raise FileNotFoundError(
             "Trigger set not found. Download it from the WatermarkNN repository "
             f"and place it under {os.path.dirname(datapath)} "
-            "(pics/ + labels-cifar.txt)."
+            "(pics/ + labels-cifar.txt, or the repo tarball/zip to "
+            "auto-extract); tools/make_trigger_set.py generates an offline "
+            "stand-in."
         )
     labels = np.loadtxt(labelpath).astype(np.int32)
 

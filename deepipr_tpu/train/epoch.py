@@ -72,6 +72,7 @@ def make_epoch_train_fn(
     out_dtype=jnp.float32,
     mesh: Optional[Mesh] = None,
     input_stage: str = "xla",
+    seed: int = 0,
 ):
     """Build epoch_fn(state, images_u8, labels, epoch_key[, wm_images_u8,
     wm_labels]) -> (state, mean_metrics).
@@ -128,7 +129,7 @@ def make_epoch_train_fn(
                               out_dtype=out_dtype)
     raw_step = make_train_step(
         model, private, split_branches=split_branches,
-        device_augment=aug, remat=remat, jit=False,
+        device_augment=aug, remat=remat, jit=False, seed=seed,
     )
 
     def epoch_fn(
@@ -157,7 +158,7 @@ def make_epoch_train_fn(
             step_fn = make_train_step(
                 model, private, split_branches=split_branches,
                 device_augment=lambda key, packed: pal(key, *packed),
-                remat=remat, jit=False,
+                remat=remat, jit=False, seed=seed,
             )
 
             def get_image(idx):

@@ -197,6 +197,7 @@ class ClassificationExperiment(Experiment):
             self.wm_data = prepare_wm(
                 self.args.get("trigger_path", "data/trigger_set/pics"),
                 crop=self.imgcrop,
+                allow_download=bool(self.args.get("download")),
             )
             if self.device_augment is not None or self.epoch_scan:
                 # separate raw-uint8 stream for the in-step concat; wm_data
@@ -209,6 +210,7 @@ class ClassificationExperiment(Experiment):
             self.passport_data = prepare_wm(
                 self.args.get("trigger_path", "data/trigger_set/pics"),
                 crop=self.imgcrop,
+                allow_download=bool(self.args.get("download")),
             )
         else:
             self.passport_data = self.valid_data
@@ -286,6 +288,7 @@ class ClassificationExperiment(Experiment):
         self.train_step = make_train_step(
             self.model, private=self.private,
             device_augment=self.device_augment,
+            seed=self.seed,
         )
         self.epoch_fn = None
         if self.epoch_scan:
@@ -311,6 +314,7 @@ class ClassificationExperiment(Experiment):
                 wm_batch=self._wm_batch,
                 mesh=self.mesh,
                 input_stage=input_stage,
+                seed=self.seed,
             )
             self._resident = device_resident(
                 self.train_data.images, self.train_data.labels,

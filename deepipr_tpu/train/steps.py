@@ -79,7 +79,8 @@ def collect_aux_with_paths(updates) -> List[Tuple[str, Dict[str, Any]]]:
 
 
 def make_train_step(model, private: bool, split_branches: bool = True,
-                    device_augment=None, remat: str = "none", jit: bool = True):
+                    device_augment=None, remat: str = "none", jit: bool = True,
+                    seed: int = 0):
     """Build the jitted SGD train step for this model/scheme.
 
     jit=False returns the raw step function — for callers that wrap it in
@@ -100,7 +101,21 @@ def make_train_step(model, private: bool, split_branches: bool = True,
         r2 = m*r1 + (1-m)*s = r1 + m*(r1 - r0)
     Gradients are unchanged: CE0(f(x)) + CE1(g(f(x))) differentiates the
     prefix f once through both terms either way.
+
+    seed: experiment seed folded into the per-step device-augment and
+    dropout RNG streams so different --seed runs draw different
+    augmentation/dropout randomness. seed=0 (the default) reproduces the
+    historical streams exactly (key(1)/key(0) folded with the step counter
+    only), so existing trajectories/checkpoints are unchanged.
     """
+    # base keys for the two per-step RNG streams; domain-separated by the
+    # historical 1/0 roots, seed folded in only when non-default
+    aug_root = jax.random.key(1)
+    drop_root = jax.random.key(0)
+    if seed:
+        aug_root = jax.random.fold_in(aug_root, seed)
+        drop_root = jax.random.fold_in(drop_root, seed)
+
     fork = None
     if private and split_branches:
         from deepipr_tpu.models.branching import branch_point
@@ -127,7 +142,7 @@ def make_train_step(model, private: bool, split_branches: bool = True,
             # raw uint8 batch from the host; crop/flip/normalize fused into
             # this step on-device (data/device_augment.py), deterministic in
             # the step counter
-            x = device_augment(jax.random.fold_in(jax.random.key(1), state.step), x)
+            x = device_augment(jax.random.fold_in(aug_root, state.step), x)
             if "wm_image" in batch:
                 # V3: trigger batch rides as raw uint8 and concatenates here
                 # on-device — normalize only, never random-augmented (the
@@ -139,7 +154,7 @@ def make_train_step(model, private: bool, split_branches: bool = True,
                 y = jnp.concatenate([y, batch["wm_label"]])
         # deterministic per-step dropout rng (only consumed by models that
         # have dropout, i.e. the ImageNet AlexNet classifier)
-        rngs = {"dropout": jax.random.fold_in(jax.random.key(0), state.step)}
+        rngs = {"dropout": jax.random.fold_in(drop_root, state.step)}
 
         def loss_fn(params):
             variables = {**state.model_variables(), "params": params}

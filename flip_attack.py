@@ -10,6 +10,7 @@ def main():
         base_parser,
         load_attacked_model,
         make_loaders,
+        make_wm_loader,
         write_history_csv,
     )
 
@@ -36,6 +37,7 @@ def main():
     hist = flip_attack(
         model, state, valloader, (1, size, size, 3), private,
         plpaths=plpaths, seed=args.seed, flip_paths=flip_paths,
+        wm_data=make_wm_loader(args, size),
     )
     for row in hist:
         print({k: round(v, 4) if isinstance(v, float) else v

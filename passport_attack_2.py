@@ -10,6 +10,7 @@ def main():
         base_parser,
         load_attacked_model,
         make_loaders,
+        make_wm_loader,
         nclass_for,
         write_history_csv,
     )
@@ -39,6 +40,7 @@ def main():
         model, state, normal, trainloader, valloader,
         (1, size, size, 3), private, plpaths,
         flipperc=args.flipperc, epochs=epochs, lr=args.lr, seed=args.seed,
+        wm_data=make_wm_loader(args, size),
     )
     for row in hist[-3:]:
         print(row)

@@ -10,6 +10,7 @@ def main():
         base_parser,
         load_attacked_model,
         make_loaders,
+        make_wm_loader,
         write_history_csv,
     )
 
@@ -30,14 +31,22 @@ def main():
 
     model, state, _, _, private, size = load_attacked_model(args)
     trainloader, valloader = make_loaders(args)
+    wm_data = make_wm_loader(args, size)
 
     eval_step = make_eval_step(model, ind=1 if private else 0,
                                force_passport=not private)
+    wm_pub_step = make_eval_step(model, ind=0) if wm_data is not None else None
 
     def eval_fn(fake_pp):
         st = state.replace(passport=fake_pp)
         out = run_eval(eval_step, st, valloader)
-        return {f"valid_{k}": v for k, v in out.items()}
+        row = {f"valid_{k}": v for k, v in out.items()}
+        if wm_data is not None:
+            # black-box WM check of the model under the FAKE passports:
+            # private (attacked) branch + deployed public branch
+            row["wm_acc"] = run_eval(eval_step, st, wm_data)["acc"]
+            row["wm_acc_public"] = run_eval(wm_pub_step, st, wm_data)["acc"]
+        return row
 
     epochs = args.epochs or (30 if args.dataset == "imagenet1000" else 100)
     fake_pp, hist = ambiguity_attack(

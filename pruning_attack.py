@@ -9,6 +9,7 @@ def main():
         base_parser,
         load_attacked_model,
         make_loaders,
+        make_wm_loader,
         write_history_csv,
     )
 
@@ -20,7 +21,8 @@ def main():
     model, state, _, _, private, size = load_attacked_model(args)
     _, valloader = make_loaders(args)
 
-    hist = pruning_attack(model, state, valloader, (1, size, size, 3), private)
+    hist = pruning_attack(model, state, valloader, (1, size, size, 3), private,
+                          wm_data=make_wm_loader(args, size))
     for row in hist:
         print({k: round(v, 4) if isinstance(v, float) else v
                for k, v in row.items()})

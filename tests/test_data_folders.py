@@ -352,3 +352,163 @@ def test_prepare_dataset_plumbs_no_draft(tmp_path, image_root):
     args["draft"] = True
     train, test = prepare_dataset(args)
     assert train.draft and test.draft
+
+
+class TestAcquireCifarAndTriggerSet:
+    """Round-4 acquisition breadth (VERDICT r3 item 5): pre-placed CIFAR
+    archives and the WatermarkNN trigger set become one-command usable."""
+
+    @staticmethod
+    def _make_cifar10_archive(dest_dir, n=20):
+        """Tiny cifar-10-python.tar.gz in the torchvision pickle layout."""
+        import pickle
+        import shutil
+        import tarfile
+
+        rng = np.random.default_rng(0)
+        src = dest_dir / "_src" / "cifar-10-batches-py"
+        src.mkdir(parents=True)
+        for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+            batch = {
+                b"data": rng.integers(0, 256, (n, 3072), dtype=np.uint8),
+                b"labels": rng.integers(0, 10, n).tolist(),
+            }
+            with open(src / name, "wb") as f:
+                pickle.dump(batch, f)
+        fpath = dest_dir / "cifar-10-python.tar.gz"
+        with tarfile.open(fpath, "w:gz") as tar:
+            tar.add(src, arcname="cifar-10-batches-py")
+        shutil.rmtree(src.parent)
+        return fpath
+
+    def test_prepare_dataset_cifar10_from_archive(self, tmp_path):
+        root = tmp_path / "cifar10"
+        root.mkdir()
+        self._make_cifar10_archive(root)
+        args = {"dataset": "cifar10", "batch_size": 8,
+                "data_root": str(tmp_path), "tl_dataset": "synthetic"}
+        train, test = prepare_dataset(args)
+        b = next(iter(test))
+        assert b["image"].shape[1:] == (32, 32, 3)
+        # idempotent second call uses the extracted tree
+        prepare_dataset(args)
+
+    def test_locate_cifar100_archive(self, tmp_path):
+        import pickle
+        import tarfile
+
+        from deepipr_tpu.data.acquire import locate_cifar
+
+        root = tmp_path / "cifar100"
+        root.mkdir()
+        src = tmp_path / "cifar-100-python"
+        src.mkdir()
+        rng = np.random.default_rng(0)
+        for name in ("train", "test"):
+            with open(src / name, "wb") as f:
+                pickle.dump({
+                    b"data": rng.integers(0, 256, (12, 3072), dtype=np.uint8),
+                    b"fine_labels": rng.integers(0, 100, 12).tolist(),
+                }, f)
+        with tarfile.open(root / "cifar-100-python.tar.gz", "w:gz") as tar:
+            tar.add(src, arcname="cifar-100-python")
+        assert locate_cifar(str(root), "cifar100") == str(root)
+        assert (root / "cifar-100-python" / "train").exists()
+        # nothing present and no download -> None
+        assert locate_cifar(str(tmp_path / "empty"), "cifar100") is None
+
+    @staticmethod
+    def _make_wm_tree(base, n=6, nested=True):
+        """WatermarkNN layout: pics/<i>.jpg + labels-cifar.txt."""
+        rng = np.random.default_rng(2)
+        root = (base / "WatermarkNN-master" / "data" / "trigger_set"
+                if nested else base)
+        pics = root / "pics"
+        pics.mkdir(parents=True)
+        for i in range(1, n + 1):
+            arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(pics / f"{i}.jpg")
+        np.savetxt(root / "labels-cifar.txt",
+                   rng.integers(0, 10, n)[:, None], fmt="%d")
+        return base / "WatermarkNN-master" if nested else root
+
+    def test_prepare_wm_from_repo_tarball(self, tmp_path):
+        """A WatermarkNN repo tarball pre-placed in data/trigger_set is
+        auto-extracted and found at its nested path."""
+        import shutil
+        import tarfile
+
+        from deepipr_tpu.data.datasets import prepare_wm
+
+        stage = tmp_path / "_stage"
+        stage.mkdir()
+        repo = self._make_wm_tree(stage, nested=True)
+        base = tmp_path / "trigger_set"
+        base.mkdir()
+        with tarfile.open(base / "WatermarkNN.tar.gz", "w:gz") as tar:
+            tar.add(repo, arcname="WatermarkNN-master")
+        shutil.rmtree(stage)
+
+        loader = prepare_wm(str(base / "pics"), crop=32, shuffle=False)
+        b = next(iter(loader))
+        assert b["image"].shape == (2, 32, 32, 3)
+
+    def test_prepare_wm_from_zip(self, tmp_path):
+        """trigger_set.zip in the parent dir, flat layout inside."""
+        import shutil
+        import zipfile
+
+        from deepipr_tpu.data.datasets import prepare_wm
+
+        stage = tmp_path / "_stage"
+        stage.mkdir()
+        self._make_wm_tree(stage, nested=False)
+        with zipfile.ZipFile(tmp_path / "trigger_set.zip", "w") as zf:
+            for p in sorted(stage.rglob("*")):
+                if p.is_file():
+                    zf.write(p, p.relative_to(stage))
+        shutil.rmtree(stage)
+
+        loader = prepare_wm(str(tmp_path / "trigger_set" / "pics"),
+                            crop=32, shuffle=False)
+        b = next(iter(loader))
+        assert b["image"].shape == (2, 32, 32, 3)
+
+    def test_zip_traversal_rejected(self, tmp_path):
+        import zipfile
+
+        from deepipr_tpu.data.acquire import extract_archive
+
+        fpath = tmp_path / "evil.zip"
+        with zipfile.ZipFile(fpath, "w") as zf:
+            zf.writestr("../../escape.txt", "pwned")
+        with pytest.raises(ValueError, match="unsafe"):
+            extract_archive(str(fpath), str(tmp_path / "dest"))
+
+    def test_locate_caltech_prefers_archive_over_stray_dir(self, tmp_path):
+        """ADVICE r3: a stray directory next to the tarball must not make
+        the flat-layout heuristic shadow the authoritative archive."""
+        from deepipr_tpu.data.acquire import ARCHIVES, locate_caltech
+
+        root = tmp_path / "caltech-101"
+        root.mkdir()
+        TestAcquire._make_archive(root)
+        (root / "stray_partial").mkdir()
+        out = locate_caltech(str(root), "caltech-101")
+        assert out == str(root / ARCHIVES["caltech-101"].foldername)
+        assert sorted(os.listdir(out)) == ["ant", "bee"]
+
+
+class TestDraftCacheSeparation:
+    def test_cache_trees_are_disjoint(self, image_root):
+        """ADVICE r3: draft and full decodes must not share cache entries."""
+        from deepipr_tpu.data.datasets import StreamingImageFolder
+
+        cache = os.path.join(os.path.dirname(image_root), "cache")
+        a = StreamingImageFolder(image_root, batch_size=2, cache_dir=cache,
+                                 draft=True)
+        b = StreamingImageFolder(image_root, batch_size=2, cache_dir=cache,
+                                 draft=False)
+        assert a.cache_dir != b.cache_dir
+        assert a.cache_dir.endswith("draft")
+        assert b.cache_dir.endswith("full")

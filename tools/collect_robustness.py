@@ -67,6 +67,9 @@ def section_sweep(kind, title, expname, tag, lines, extra_cols=()):
         return
     rows = read_csv(paths[-1])
     cols = ["perc", "acc", "detect_mean", *extra_cols]
+    # V3 grids carry black-box WM accuracy per row (attacks/*.py wm_data)
+    cols += [c for c in ("wm_acc", "wm_acc_private")
+             if rows and rows[0].get(c) not in (None, "")]
     lines += [f"## {title}", "", "| " + " | ".join(cols) + " |",
               "|" + "---|" * len(cols)]
     for r in rows:
@@ -85,7 +88,11 @@ def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
     if not paths:
         return
     lines += [f"## {title}", ""]
+    has_wm = any(r.get("wm_acc") not in (None, "")
+                 for r in read_csv(paths[0]))
     header = ["flipperc", "final attacker acc", *sig_cols]
+    if has_wm:
+        header.append("final wm acc")
     lines += ["| " + " | ".join(header) + " |", "|" + "---|" * len(header)]
     for p in paths:
         fp = os.path.splitext(p)[0].rsplit("-", 1)[-1]
@@ -96,6 +103,10 @@ def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
             cands = [fnum(r.get(c)) for r in rows
                      if r.get(c) not in (None, "")]
             vals.append(f"{cands[-1]:.4f}" if cands else "—")
+        if has_wm:
+            cands = [fnum(r.get("wm_acc")) for r in rows
+                     if r.get("wm_acc") not in (None, "")]
+            vals.append(f"{cands[-1]:.2f}%" if cands else "—")
         lines.append("| " + " | ".join(vals) + " |")
     lines += ["", "Sources: " + ", ".join(f"`{p}`" for p in paths), ""]
 

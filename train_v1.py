@@ -46,6 +46,11 @@ def build_parser():
                    default="passport_configs/alexnet_passport.json")
     p.add_argument("--trigger-path", default="data/trigger_set/pics")
     p.add_argument("--data-root", default="data")
+    p.add_argument("--caltech-split", default="shuffled",
+                   choices=["shuffled", "reference"],
+                   help="Caltech 80/20 per-class split: seeded shuffle "
+                        "(default) or the reference's exact sorted-filename "
+                        "split (dataset.py:57-61)")
     p.add_argument("--download", action="store_true", default=False,
                    help="fetch + extract missing Caltech archives "
                         "(reference dataset.py:89-130; needs egress — "
