@@ -5,6 +5,7 @@ experiments/trainer.py:48-49); this is the pod-scale entry point, wired into
 the train CLIs behind --multihost.
 """
 
+import os
 import subprocess
 import sys
 
@@ -73,3 +74,65 @@ def test_cli_exposes_multihost_flag():
         capture_output=True, text=True, check=True,
     ).stdout
     assert "--multihost" in out
+
+
+@pytest.mark.slow
+class TestTwoProcessSmoke:
+    """End-to-end jax.distributed across two REAL OS processes (VERDICT r3
+    weak item 5): coordinator + worker, 4 virtual CPU devices each, one
+    8-device global mesh. Asserts the one code path that differs between
+    single- and multi-process — init ordering, cross-process batch
+    sharding, the gradient all-reduce — produces params identical across
+    processes and matching the single-process run."""
+
+    def test_two_process_training_matches_single_process(self, tmp_path):
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        env_base = {
+            **os.environ,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+        }
+        worker = os.path.join(os.path.dirname(__file__),
+                              "multihost_worker.py")
+        procs = []
+        for pid in (0, 1):
+            env = {**env_base, "JAX_PROCESS_ID": str(pid)}
+            procs.append(subprocess.Popen(
+                [sys.executable, worker, str(tmp_path / f"out{pid}.npz")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+            assert "WORKER-OK" in out
+
+        import numpy as np
+
+        r0 = np.load(tmp_path / "out0.npz")
+        r1 = np.load(tmp_path / "out1.npz")
+        # both processes hold the same replicated result, bit for bit
+        np.testing.assert_array_equal(r0["flat"], r1["flat"])
+        np.testing.assert_array_equal(r0["losses"], r1["losses"])
+
+        # single-process reference: same training body on this process's
+        # own 8-device mesh (conftest)
+        from multihost_worker import run_training  # tests/ dir on sys.path
+
+        losses, flat = run_training()
+        np.testing.assert_allclose(r0["losses"], losses, rtol=1e-6)
+        np.testing.assert_allclose(r0["flat"], flat, rtol=1e-5, atol=1e-6)
