@@ -62,24 +62,38 @@ def replicate(tree, mesh: Mesh):
 # tensor parallelism over the 'model' axis
 # --------------------------------------------------------------------------
 
+# residual units whose conv kernels are sharded over 'model'. layer3+layer4
+# carry ~3/4 of a ResNet's weight volume and (by the halve-res/double-width
+# design) ~half its conv FLOPs.
+TP_UNITS = ("layer3_", "layer4_")
+
+
 def model_parallel_spec(path: str, ndim: int) -> P:
     """PartitionSpec for one parameter under model parallelism.
 
     The deepest (widest) layers carry most of the weight volume, so they are
     the ones worth sharding over 'model' (megatron-style column/row split;
-    XLA GSPMD inserts the all-gather/reduce-scatter pairs over ICI):
+    XLA GSPMD inserts the all-gather/reduce-scatter pairs over ICI). Block
+    inputs/outputs stay replicated, so all communication is block-local:
 
-    - layer4 convbnrelu_1 conv kernels (HWIO): output channels sharded
-    - layer4 convbn_2 / shortcut conv kernels: input channels sharded
-      (consumes the channel-sharded activation, psum after)
+    - layer3/layer4 convbnrelu_1 conv kernels (HWIO): output channels
+      sharded (column-parallel — the activation leaves channel-sharded)
+    - every other conv kernel in those units (BasicBlock convbn_2,
+      Bottleneck convbnrelu_2 / convbn_3, shortcut): input channels sharded
+      (row-parallel — convbn(relu)_2 consumes the channel-sharded activation
+      with no resharding; the trailing psum restores a replicated output)
     - final Dense ('linear'/'classifier*') kernels (in, out): output sharded
     - everything else (BN vectors, passports, signatures, small convs):
       replicated
     """
-    if ndim == 4 and "layer4_" in path and path.endswith("/conv/kernel"):
+    if (
+        ndim == 4
+        and any(u in path for u in TP_UNITS)
+        and path.endswith("/conv/kernel")
+    ):
         if "/convbnrelu_1/" in path:
             return P(None, None, None, "model")
-        return P(None, None, "model", None)  # convbn_2, shortcut
+        return P(None, None, "model", None)  # convbn(relu)_2/3, shortcut
     last = path.rsplit("/", 2)
     if (
         ndim == 2
