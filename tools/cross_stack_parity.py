@@ -43,6 +43,32 @@ sys.path.insert(0, REPO)
 ALEXNET_CFG = {"0": False, "2": False, "4": True, "5": True, "6": True}
 
 
+def load_cfg(arch: str):
+    if arch == "alexnet":
+        return ALEXNET_CFG
+    import json as _json
+
+    with open(os.path.join(REPO,
+                           "passport_configs/resnet18_passport.json")) as f:
+        return _json.load(f)
+
+
+def ref_passport_kwargs(arch: str, cfg, _ref_layer_kwargs):
+    """Our config JSON -> the reference's per-layer kwargs dict (nested for
+    resnet, flat for alexnet — reference amalgamate passport_kwargs shape)."""
+    if arch == "alexnet":
+        return {k: _ref_layer_kwargs(v) for k, v in cfg.items()}
+    out = {}
+    for lk, v in cfg.items():
+        if isinstance(v, dict):
+            out[lk] = {i: {m: _ref_layer_kwargs(flag)
+                           for m, flag in mods.items()}
+                       for i, mods in v.items()}
+        else:
+            out[lk] = _ref_layer_kwargs(v)
+    return out
+
+
 def make_shared_data(num_train: int, num_test: int, seed: int = 0):
     """Identical f32 NCHW/NHWC tensors for both stacks: synthetic uint8 ->
     ImageNet-normalized, no augmentation."""
@@ -60,9 +86,10 @@ def make_shared_data(num_train: int, num_test: int, seed: int = 0):
 
 
 def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
-              eval_every: int, seed: int = 0):
-    """Train the reference's AlexNetPassportPrivate with the reference's own
-    TrainerPrivate hot loop (trainer_private.py:118-210) on CPU."""
+              eval_every: int, seed: int = 0, arch: str = "alexnet"):
+    """Train the reference's AlexNet/ResNet18 PassportPrivate with the
+    reference's own TrainerPrivate hot loop (trainer_private.py:118-210)
+    on CPU."""
     import numpy as np
     import torch
     from torch.utils.data import DataLoader, TensorDataset
@@ -77,6 +104,10 @@ def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
         from experiments.trainer_private import TrainerPrivate
         from models.alexnet_normal import AlexNetNormal
         from models.alexnet_passport_private import AlexNetPassportPrivate
+        from models.resnet_normal import ResNet18 as RefResNet18
+        from models.resnet_passport_private import (
+            ResNet18Private as RefResNet18Private,
+        )
 
         torch.manual_seed(seed)
         np.random.seed(seed)
@@ -91,11 +122,19 @@ def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
                                   shuffle=True, drop_last=True, generator=g)
         test_loader = DataLoader(test_ds, batch_size=batch_size)
 
-        kwargs = {k: _ref_layer_kwargs(v) for k, v in ALEXNET_CFG.items()}
-        model = AlexNetPassportPrivate(3, 10, kwargs)
-        # reference alexnet key-setup path uses norm_type='none'
-        # (classification_private.py:73) and leaves the module in train mode
-        pretrained = AlexNetNormal(3, 10, "none")
+        kwargs = ref_passport_kwargs(arch, load_cfg(arch), _ref_layer_kwargs)
+        if arch == "alexnet":
+            model = AlexNetPassportPrivate(3, 10, kwargs)
+            # reference alexnet key-setup path uses norm_type='none'
+            # (classification_private.py:73) and leaves the module in train
+            # mode
+            pretrained = AlexNetNormal(3, 10, "none")
+        else:
+            model = RefResNet18Private(num_classes=10, passport_kwargs=kwargs)
+            # reference resnet key-setup path uses norm_type='bn'
+            # (classification_private.py:79-82); random init stands in for
+            # the torchvision-pretrained weights (zero egress) in both stacks
+            pretrained = RefResNet18(num_classes=10, norm_type="bn")
 
         def set_keys_from(src_images):
             # reference setup_keys samples key_x and key_y independently
@@ -147,6 +186,9 @@ def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
             "attack1_acc_mean": float(np.mean(attack_accs)),
             "attack1_acc_max": float(np.max(attack_accs)),
             "attack1_collapse": genuine_acc - float(np.mean(attack_accs)),
+            # trained module for per-checkpoint cross-validation
+            # (tools/cross_stack_attacks.py); not JSON-serialized
+            "_model": model,
         }
     finally:
         sys.path.remove(REFERENCE)
@@ -156,8 +198,9 @@ def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
 
 
 def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
-            eval_every: int, seed: int = 0):
-    """Train our AlexNet V2 with the canonical step on the same tensors."""
+            eval_every: int, seed: int = 0, arch: str = "alexnet"):
+    """Train our AlexNet/ResNet18 V2 with the canonical step on the same
+    tensors."""
     import numpy as np
 
     import jax
@@ -182,8 +225,13 @@ def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
     xtr, ytr, xte, yte = data
     ytr32, yte32 = ytr.astype(np.int32), yte.astype(np.int32)
 
-    kw, _ = construct_passport_kwargs(ALEXNET_CFG, "bn", "shuffle", 0.1)
-    model = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
+    kw, _ = construct_passport_kwargs(load_cfg(arch), "bn", "shuffle", 0.1)
+    if arch == "alexnet":
+        model = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
+    else:
+        from deepipr_tpu.models import ResNet18
+
+        model = ResNet18(num_classes=10, passport_kwargs=kw, private=True)
     rngs = {"params": jax.random.key(seed),
             "passport": jax.random.key(seed + 1)}
     variables = dict(model.init(rngs, jnp.zeros((2, 32, 32, 3)), train=True))
@@ -193,8 +241,14 @@ def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
     # norm 'none' mirrors the reference's alexnet key-setup path
     # (classification_private.py:73) — and matters: with BN in the tap path
     # the taps are batch-normalized and passports from a homogeneous
-    # candidate pool CONCENTRATE, blunting the fake-passport attack
-    normal = AlexNet(num_classes=10, norm_type="none")
+    # candidate pool CONCENTRATE, blunting the fake-passport attack.
+    # resnet key setup keeps 'bn' (classification_private.py:79-82).
+    if arch == "alexnet":
+        normal = AlexNet(num_classes=10, norm_type="none")
+    else:
+        from deepipr_tpu.models import ResNet18 as _RN
+
+        normal = _RN(num_classes=10, norm_type="bn")
     nv = normal.init({"params": jax.random.key(seed + 2)},
                      jnp.zeros((2, 32, 32, 3)), train=True)
 
@@ -259,6 +313,10 @@ def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
         "attack1_acc_mean": float(np.mean(attack_accs)),
         "attack1_acc_max": float(np.max(attack_accs)),
         "attack1_collapse": genuine_acc - float(np.mean(attack_accs)),
+        # trained model/state for per-checkpoint cross-validation
+        # (tools/cross_stack_attacks.py); not JSON-serialized
+        "_model": model,
+        "_state": state,
     }
 
 
@@ -266,12 +324,12 @@ def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
 
 
 def run_both(epochs=30, batch_size=64, num_train=2048, num_test=512,
-             attack_reps=8, eval_every=5, seed=0, out=None):
+             attack_reps=8, eval_every=5, seed=0, out=None, arch="alexnet"):
     data = make_shared_data(num_train, num_test, seed)
     torch_res = run_torch(data, epochs, batch_size, attack_reps, eval_every,
-                          seed)
+                          seed, arch=arch)
     jax_res = run_jax(data, epochs, batch_size, attack_reps, eval_every,
-                      seed)
+                      seed, arch=arch)
 
     if out:
         os.makedirs(out, exist_ok=True)
@@ -283,7 +341,8 @@ def run_both(epochs=30, batch_size=64, num_train=2048, num_test=512,
             w = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
             w.writeheader()
             w.writerows(rows)
-        summary = {k: {kk: vv for kk, vv in v.items() if kk != "history"}
+        summary = {k: {kk: vv for kk, vv in v.items()
+                       if kk != "history" and not kk.startswith("_")}
                    for k, v in (("torch", torch_res), ("jax", jax_res))}
         summary["recipe"] = {
             "epochs": epochs, "batch_size": batch_size,
@@ -313,6 +372,10 @@ def main():
     ap.add_argument("--seeds", default="0",
                     help="comma-separated seeds; the attack-1 collapse is "
                          "seed-dominated at small scale, so report several")
+    ap.add_argument("--arch", default="alexnet",
+                    choices=["alexnet", "resnet18"],
+                    help="resnet18 = the flagship V2 arch (VERDICT r3 "
+                         "item 7); artifacts gain an _resnet18 suffix")
     ap.add_argument("--out", default="docs/demo")
     args = ap.parse_args()
 
@@ -321,35 +384,39 @@ def main():
     for seed in seeds:
         torch_res, jax_res = run_both(
             args.epochs, args.batch_size, args.num_train, args.num_test,
-            args.attack_reps, args.eval_every, seed, out=None)
+            args.attack_reps, args.eval_every, seed, out=None,
+            arch=args.arch)
         for res in (torch_res, jax_res):
             for row in res["history"]:
                 all_rows.append({**row, "seed": seed})
-            s = {k: v for k, v in res.items() if k != "history"}
+            s = {k: v for k, v in res.items()
+                 if k != "history" and not k.startswith("_")}
             s["seed"] = seed
             summaries.append(s)
             print(json.dumps(s), flush=True)
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
+        suffix = "" if args.arch == "alexnet" else f"_{args.arch}"
         cols = ["stack", "seed", "epoch", "train_acc_public",
                 "train_acc_private", "sign_acc", "valid_acc_public",
                 "valid_acc_private", "time"]
-        with open(os.path.join(args.out, "cross_stack_parity.csv"), "w",
-                  newline="") as f:
+        with open(os.path.join(args.out, f"cross_stack_parity{suffix}.csv"),
+                  "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
             w.writeheader()
             w.writerows(all_rows)
         payload = {
             "runs": summaries,
             "recipe": {
+                "arch": args.arch,
                 "epochs": args.epochs, "batch_size": args.batch_size,
                 "num_train": args.num_train, "num_test": args.num_test,
                 "attack_reps": args.attack_reps, "seeds": seeds,
                 "optimizer": "SGD lr .01 momentum .9 wd 1e-4, sign-loss .1",
             },
         }
-        with open(os.path.join(args.out, "cross_stack_parity.json"),
+        with open(os.path.join(args.out, f"cross_stack_parity{suffix}.json"),
                   "w") as f:
             json.dump(payload, f, indent=1)
 
