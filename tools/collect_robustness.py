@@ -133,6 +133,40 @@ def section_forge(expname, tag, lines):
     lines += ["", f"Source: `{paths[-1]}`", ""]
 
 
+def section_transfer(expname, lines):
+    """Transfer-learning survival: fine-tune a surgically cloned normal
+    model (train/transfer.py, reference classification_private.py:161-330)
+    and track per-epoch signature bit-acc + trigger-set accuracy through
+    the ORIGINAL model. TL runs live in their own expdirs
+    logs/<base><tag>tl{rtal,ftal}/<id>/tl_1/history.csv."""
+    base = expname.split("/")[0]
+    paths = sorted(glob.glob(
+        os.path.join("logs", f"{base}tl*", "*", "tl_1", "history.csv")))
+    if not paths:
+        return
+    lines += [
+        "## Transfer-learning attack — fine-tune a cloned normal model "
+        "(reference classification_private.py:161-330)",
+        "",
+        "| scheme | TL valid acc | signature bit-acc after TL (min over "
+        "passport layers) | trigger-set acc after TL (total) |",
+        "|---|---|---|---|",
+    ]
+    for p in paths:
+        tl_scheme = "rtal" if "tlrtal" in p else (
+            "ftal" if "tlftal" in p else "?")
+        rows = read_csv(p)
+        final = rows[-1]
+        sig = [fnum(v) for k, v in final.items()
+               if k.startswith("old_wm_passport_") and v not in (None, "")]
+        sigcell = f"{100 * min(sig):.2f}%" if sig else "—"
+        wm = final.get("backdoor_total_acc")
+        wmcell = f"{fnum(wm):.2f}%" if wm not in (None, "") else "—"
+        lines.append(f"| {tl_scheme} | {fnum(final.get('valid_acc')):.2f}% "
+                     f"| {sigcell} | {wmcell} |")
+    lines += ["", "Sources: " + ", ".join(f"`{p}`" for p in paths), ""]
+
+
 def add_model_sections(expname, tag, lines):
     section_attack1(expname, tag, lines)
     section_sweep("pruning_attack", "Pruning attack — global percentile "
@@ -149,6 +183,7 @@ def add_model_sections(expname, tag, lines):
                     tag, lines,
                     sig_cols=("train_signacc", "cosine_similarity"))
     section_forge(expname, tag, lines)
+    section_transfer(expname, lines)
 
 
 def main():
@@ -168,7 +203,7 @@ def main():
         "Attack grid of the reference (attacking.sh + "
         "passport_attack_{1,2,3}.py, pruning_attack.py, flip_attack.py) "
         "plus this repo's forge attack, run against the "
-        "200-epoch canonical V2 checkpoints ("
+        "200-epoch canonical checkpoints ("
         + ", ".join(f"`logs/{e}`" for e in expnames) + "). "
         "Regenerate: `bash tools/run_robustness_grid.sh` then "
         "`python tools/collect_robustness.py`. Committed copies of every "
