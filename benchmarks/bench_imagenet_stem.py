@@ -87,11 +87,22 @@ def timed_chain(step, state, batch, steps: int):
     return dt, loss
 
 
+def _roofline(cost):
+    """flops + bytes accessed -> arithmetic intensity, where reported."""
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    nbytes = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+    out = {"flops": flops}
+    if nbytes:
+        out["gbytes_per_step"] = round(nbytes / 1e9, 3)
+        out["flop_per_byte"] = round(flops / nbytes, 1)
+    return out
+
+
 def bench_per_step(batch_size: int, steps: int = 30):
     model, state, step, batch = build(batch_size)
     compiled = step.lower(state, batch).compile()
-    cost = compiled.cost_analysis()
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    roof = _roofline(compiled.cost_analysis())
+    flops = roof.pop("flops")
     dt, loss = timed_chain(step, state, batch, steps)
     return {
         "mode": "per-step",
@@ -101,6 +112,7 @@ def bench_per_step(batch_size: int, steps: int = 30):
         "tflop_per_step": round(flops / 1e12, 4),
         "tflops": round(flops / dt / 1e12, 1),
         "mfu_pct": round(100 * flops / dt / V5E_BF16_PEAK, 1),
+        **roof,
         "loss": round(loss, 4),
     }
 
@@ -129,11 +141,11 @@ def bench_scan(batch_size: int, k: int = 8, reps: int = 4, size: int = 224,
         return state, losses
 
     compiled = window_fn.lower(state, images, labels).compile()
-    cost = compiled.cost_analysis()
     # XLA's cost analysis counts a while/scan BODY once, not trip-count
     # times (measured: window flops == exactly the single-step flops), so
     # the per-step figure needs no /k
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    roof = _roofline(compiled.cost_analysis())
+    flops = roof.pop("flops")
 
     state, losses = window_fn(state, images, labels)
     float(losses[-1])
@@ -150,6 +162,7 @@ def bench_scan(batch_size: int, k: int = 8, reps: int = 4, size: int = 224,
         "tflop_per_step": round(flops / 1e12, 4),
         "tflops": round(flops / dt / 1e12, 1),
         "mfu_pct": round(100 * flops / dt / V5E_BF16_PEAK, 1),
+        **roof,
         "loss": round(loss, 4),
     }
 
