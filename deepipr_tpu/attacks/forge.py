@@ -76,6 +76,17 @@ def forge_targets(
         node = params
         for seg in path.split("/"):
             node = node[seg]
+        if "scale" not in node:
+            # V1 (scheme 1) has no learned public affine: every passport
+            # layer derives scale/bias from the passports, so the deployed
+            # model SHIPS its passports and the data-free forger has no
+            # public-branch target to regress onto. Forging against leaked
+            # passports is exactly attack 3 (passport_attack_3.py), which
+            # covers V1. See ROBUSTNESS.md.
+            raise ValueError(
+                f"forge attack needs a learned public affine at '{path}' — "
+                "V2/V3 checkpoints only. For scheme 1 use the ambiguity "
+                "attack (passport_attack_3.py) instead.")
         pub_scale[path] = {
             "scale": np.asarray(node["scale"]).reshape(-1),
             "bias": np.asarray(node["bias"]).reshape(-1),

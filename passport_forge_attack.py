@@ -32,6 +32,10 @@ def main():
     p.add_argument("--refine-data-frac", type=float, default=1.0,
                    help="fraction of the train set the attacker holds")
     args = p.parse_args()
+    if args.scheme == 1:
+        p.error("forge attack targets the deployed V2/V3 public affine; "
+                "a V1 deployment ships its passports, so the equivalent "
+                "threat is attack 3 (passport_attack_3.py)")
 
     from deepipr_tpu.attacks.forge import (
         forge_attack,

@@ -247,6 +247,20 @@ class TestForge:
         after = run_eval(eval1, state.replace(passport=refined_pp), valid_dl)
         assert after["acc"] >= before["acc"] - 5.0
 
+    def test_v1_checkpoint_rejected_with_explanation(self):
+        """Scheme 1 has no learned public affine — the forge threat model
+        does not apply (the deployed V1 model ships its passports; that
+        threat is attack 3). forge_targets must fail fast, not KeyError."""
+        from deepipr_tpu.attacks.forge import forge_targets
+
+        cfg = {"0": False, "2": False, "4": True, "5": True, "6": True}
+        kw, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        model = AlexNet(num_classes=10, passport_kwargs=kw, private=False)
+        v = model.init(RNGS, jnp.zeros(SHAPE), train=True)
+        state = TrainState.create(v, sgd_optimizer(0.01))
+        with pytest.raises(ValueError, match="V2/V3"):
+            forge_targets(model, state, SHAPE, 0.0, 0, private=False)
+
     def test_owner_signature_not_reproduced(self, trained, forged_zero):
         """The forged passports claim the ATTACKER's signature, not the
         owner's — detection against the owner's b stays near chance."""

@@ -27,5 +27,9 @@ done
 for fp in 0.0 0.1 0.25 0.5; do
   python passport_attack_3.py $COMMON --flipperc $fp --epochs 100 --epoch-scan || exit 1
 done
-python passport_forge_attack.py $COMMON --flippercs 0,0.1,0.25,0.5 || exit 1
+if [ "$SCHEME" != "1" ]; then
+  # forge regresses onto the learned PUBLIC affine — V2/V3 only (a V1
+  # deployment ships its passports; that threat is attack 3 above)
+  python passport_forge_attack.py $COMMON --flippercs 0,0.1,0.25,0.5 || exit 1
+fi
 echo GRID-DONE
