@@ -140,11 +140,12 @@ def bench_scan(batch_size: int, k: int = 8, reps: int = 4, size: int = 224,
         state, losses = jax.lax.scan(body, state, (images, labels))
         return state, losses
 
-    compiled = window_fn.lower(state, images, labels).compile()
-    # XLA's cost analysis counts a while/scan BODY once, not trip-count
-    # times (measured: window flops == exactly the single-step flops), so
-    # the per-step figure needs no /k
-    roof = _roofline(compiled.cost_analysis())
+    # cost_analysis over the scanned program misreports loop flops on this
+    # backend (measured: exactly single-step/k), so take the authoritative
+    # per-step figure from a single-step compile of the same train step
+    single = jax.jit(raw_step).lower(
+        state, {"image": images[0], "label": labels[0]}).compile()
+    roof = _roofline(single.cost_analysis())
     flops = roof.pop("flops")
 
     state, losses = window_fn(state, images, labels)
