@@ -114,7 +114,12 @@ def load_attacked_model(args, learnable_affine: bool = False):
 
     model, state = build(passport_kwargs)
     if args.loadpath:
-        state = load_state(args.loadpath, state, restore_opt=False)
+        # msgpack restore yields HOST numpy leaves; device_put once, or every
+        # jitted call re-ships the full state over the (slow) relay H2D link.
+        # Measured on the V3 grid: the per-epoch eval loop went from 172 s
+        # and +4.6 GB host RSS per epoch (OOM by epoch ~25) to steady state.
+        state = jax.device_put(load_state(args.loadpath, state,
+                                          restore_opt=False))
 
     if learnable_affine and not private:
         from deepipr_tpu.interop.surgery import copy_matching

@@ -282,6 +282,12 @@ class ClassificationExperiment(Experiment):
 
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
+        else:
+            # the checkpoint loads above restore HOST numpy leaves; commit
+            # them to device once, or every jitted call re-ships the full
+            # state over the relay's slow H2D link (attacks/cli_common.py
+            # measured 172 s + 4.6 GB host RSS per eval epoch before this)
+            self.state = jax.device_put(self.state)
 
         # Compile once; reuse across epochs (re-jitting per epoch would pay
         # the full XLA compile on every evaluation pass).
@@ -524,6 +530,8 @@ class ClassificationExperiment(Experiment):
             else os.path.join(self.logdir, "models", name_or_path)
         )
         self.state = load_state(path, self.state)
+        if self.mesh is None:
+            self.state = jax.device_put(self.state)  # see __init__ note
 
     def _check_finite(self, ep: int, train_metrics: Dict):
         """Failure detection (beyond the reference, which trains on through

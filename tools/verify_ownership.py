@@ -77,7 +77,8 @@ def main():
     rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
     variables = model.init(rngs, jnp.zeros(shape, jnp.float32), train=True)
     tmpl = TrainState.create(variables, sgd_optimizer(0.0))
-    state = load_state(args.ckpt, tmpl, restore_opt=False)
+    # commit restored numpy leaves to device once (relay H2D is slow)
+    state = jax.device_put(load_state(args.ckpt, tmpl, restore_opt=False))
 
     claimed = None
     if args.claimed_ckpt:
