@@ -64,6 +64,31 @@ class TrainingDiverged(RuntimeError):
 _mark_separate_stats = mark_separate_stats
 
 
+def wm_freeze_warning(best_ep: int, best_metrics: Dict, final_metrics: Dict,
+                      margin: float = 20.0) -> Optional[str]:
+    """Warn when best.ckpt froze before the trigger set was memorized.
+
+    best.ckpt is selected on validation accuracy alone, matching the
+    reference (classification_private.py:151-154). On tasks whose
+    validation accuracy saturates early (epoch ~8 on the synthetic
+    canonical recipe) the strict `>` freezes best.ckpt there, while
+    black-box WM accuracy keeps climbing for tens of epochs — leaving a
+    "best" checkpoint whose trigger-set accuracy is chance-level. Pure
+    function over the epoch-metric dicts so it is unit-testable.
+    """
+    bw, fw = (m.get("wm_total_acc", m.get("wm_acc"))
+              for m in (best_metrics, final_metrics))
+    if bw is None or fw is None or fw - bw <= margin:
+        return None
+    return (
+        f"WARNING: best.ckpt froze at epoch {best_ep} with trigger-set "
+        f"accuracy {bw:.1f}% (the final epoch reaches {fw:.1f}%). The best "
+        "criterion is validation accuracy only (reference parity); for "
+        "black-box WM verification use last.ckpt or an epoch snapshot "
+        "taken after WM convergence."
+    )
+
+
 def derive_scheme(args: Dict) -> int:
     if args.get("train_passport"):
         return 1
@@ -552,6 +577,7 @@ class ClassificationExperiment(Experiment):
 
     def training(self):
         best = float("-inf")
+        best_ep, best_metrics, metrics = 0, {}, {}
         print(f"Start training: scheme {self.scheme}, logdir {self.logdir}")
         if self.save_interval > 0:
             self.save_model("epoch-0.ckpt")  # reference classification.py:271-272
@@ -594,6 +620,7 @@ class ClassificationExperiment(Experiment):
                 self.save_model(f"epoch-{ep}.ckpt", asynchronous=True)
             if crit > best:
                 best = crit
+                best_ep, best_metrics = ep, metrics
                 self.save_model("best.ckpt", asynchronous=True)
             # --ckpt-every throttles the per-epoch last.ckpt: on a
             # relay-attached chip the ~seconds-long state fetch dominates
@@ -603,6 +630,9 @@ class ClassificationExperiment(Experiment):
             if ep % every == 0 or ep == self.epochs:
                 self.save_model("last.ckpt", asynchronous=True)
         self._flush_saves()
+        warning = wm_freeze_warning(best_ep, best_metrics, metrics)
+        if warning:
+            print(warning)
         return best
 
     def evaluate_only(self):

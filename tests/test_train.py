@@ -431,3 +431,32 @@ class TestMeters:
         from deepipr_tpu.train.steps import run_eval
         out = run_eval(None, None, [])
         assert out == {"loss": 0.0, "acc": 0.0}
+
+
+class TestWmFreezeWarning:
+    """best.ckpt criterion freeze detection (train/experiment.py).
+
+    Observed on the canonical V3 run: valid_total_acc saturates at epoch 8
+    while wm_total_acc is still 18.5%; the converged epoch-200 model
+    verifies at 100%."""
+
+    def test_warns_on_frozen_wm(self):
+        from deepipr_tpu.train.experiment import wm_freeze_warning
+        msg = wm_freeze_warning(
+            8, {"valid_total_acc": 100.0, "wm_total_acc": 18.5},
+            {"valid_total_acc": 100.0, "wm_total_acc": 100.0})
+        assert msg is not None and "epoch 8" in msg and "18.5" in msg
+
+    def test_silent_when_converged_or_absent(self):
+        from deepipr_tpu.train.experiment import wm_freeze_warning
+        assert wm_freeze_warning(
+            190, {"wm_total_acc": 99.0}, {"wm_total_acc": 100.0}) is None
+        # non-backdoor schemes have no wm columns at all
+        assert wm_freeze_warning(
+            8, {"valid_acc": 100.0}, {"valid_acc": 100.0}) is None
+
+    def test_wm_acc_fallback_key(self):
+        from deepipr_tpu.train.experiment import wm_freeze_warning
+        msg = wm_freeze_warning(
+            5, {"wm_acc": 10.0}, {"wm_acc": 95.0})
+        assert msg is not None
