@@ -30,7 +30,10 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s, same constant as the BASELINE.md MFU row
 
 
 def build(batch_size: int, size: int = 224, num_classes: int = 1000,
-          jit: bool = True):
+          jit: bool = True, with_batch: bool = True):
+    """with_batch=False skips building/shipping the single batch (scan mode
+    builds its own K-batch window; a 19-38 MB unused uint8 transfer is real
+    money on the relay's slow H2D link)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,16 +57,18 @@ def build(batch_size: int, size: int = 224, num_classes: int = 1000,
                            train=True)
     state = TrainState.create(variables, sgd_optimizer(0.01))
 
-    rng = np.random.default_rng(0)
-    batch = {
-        # raw uint8, normalize fused into the step: the streaming
-        # --device-augment wiring (4x less H2D; H2D is out of the timed
-        # region anyway — the batch is device-resident)
-        "image": jax.device_put(rng.integers(
-            0, 256, (batch_size, size, size, 3), dtype=np.uint8)),
-        "label": jax.device_put(rng.integers(
-            0, num_classes, batch_size).astype(np.int32)),
-    }
+    batch = None
+    if with_batch:
+        rng = np.random.default_rng(0)
+        batch = {
+            # raw uint8, normalize fused into the step: the streaming
+            # --device-augment wiring (4x less H2D; H2D is out of the timed
+            # region anyway — the batch is device-resident)
+            "image": jax.device_put(rng.integers(
+                0, 256, (batch_size, size, size, 3), dtype=np.uint8)),
+            "label": jax.device_put(rng.integers(
+                0, num_classes, batch_size).astype(np.int32)),
+        }
     step = make_train_step(
         model, private=True,
         device_augment=lambda key, x: normalize_device(x, jnp.bfloat16),
@@ -124,7 +129,8 @@ def bench_scan(batch_size: int, k: int = 8, reps: int = 4, size: int = 224,
     import numpy as np
 
     _, state, raw_step, _ = build(batch_size, size=size,
-                                  num_classes=num_classes, jit=False)
+                                  num_classes=num_classes, jit=False,
+                                  with_batch=False)
     rng = np.random.default_rng(0)
     images = jax.device_put(rng.integers(
         0, 256, (k, batch_size, size, size, 3), dtype=np.uint8))

@@ -11,12 +11,12 @@ For ResNet-18 (BasicBlock) and ResNet-50 (Bottleneck) V2 private models on a
 - reports per-device parameter bytes (the memory win TP buys),
 - A/B wall-clock per step.
 
-Runs on the virtual 8-device CPU mesh by default (no TPU needed — comm
-volume and shard counts are compile-time facts; CPU step time is an
-ordering signal only, not a TPU prediction):
+Runs on the virtual 8-device CPU mesh (no TPU needed — comm volume and
+shard counts are compile-time facts; CPU step time is an ordering signal
+only, not a TPU prediction). The CPU platform is forced in-process (the
+axon sitecustomize pins JAX_PLATFORMS, so env vars alone don't work):
 
-    JAX_PLATFORMS='' XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/bench_tensor_parallel.py
+    python benchmarks/bench_tensor_parallel.py
 """
 
 import json
@@ -33,18 +33,34 @@ def _collective_census(hlo_text: str, model_group_size: int):
 
     GSPMD lowers the 'model'-axis psums/gathers to replica_groups of size
     `model_group_size`; the DP gradient all-reduce uses the complementary
-    size. Bytes = operand shape bytes (per all-reduce semantics each device
-    sends+receives its full buffer; relative comparison is what matters).
+    size. Bytes = the instruction's RESULT shape (tuple shapes summed over
+    components) — the full-buffer proxy per all-reduce semantics; relative
+    comparison across modes is what matters.
+
+    Handles what XLA actually emits: tuple-shaped combined collectives
+    ("(f32[...], f32[...]) all-reduce(...)" from the all-reduce combiner),
+    async -start forms, and BOTH replica-group encodings — explicit lists
+    ("replica_groups={{0,1},{2,3}}") and iota form
+    ("replica_groups=[4,2]<=[8]" = 4 groups of size 2).
     """
     dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                    "pred": 1, "u8": 1, "s8": 1, "f64": 8}
     ops = []
     for m in re.finditer(
-        r"(\S+) = (\S+?) (all-reduce|all-gather|reduce-scatter|"
-        r"collective-permute)\(.*?replica_groups=\{(.*?)\}", hlo_text,
+        r"= (\([^)]*\)|\S+) (all-reduce|all-gather|reduce-scatter|"
+        r"collective-permute)(?:-start)?\(", hlo_text,
     ):
-        shape_str, kind, groups = m.group(2), m.group(3), m.group(4)
-        group_size = groups.split("},{")[0].count(",") + 1
+        shape_str, kind = m.group(1), m.group(2)
+        eol = hlo_text.find("\n", m.start())
+        line = hlo_text[m.start():eol if eol != -1 else len(hlo_text)]
+        group_size = 0  # unknown/all-devices/permute -> 'other' bucket
+        gm = re.search(r"replica_groups=\{\{([\d,]+)\}", line)
+        if gm:
+            group_size = gm.group(1).count(",") + 1
+        else:
+            gm = re.search(r"replica_groups=\[(\d+),(\d+)\]<=\[", line)
+            if gm:
+                group_size = int(gm.group(2))
         total = 0
         for shp in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
             dt, dims = shp
@@ -151,6 +167,18 @@ def bench_model(arch: str, batch_size: int = 64, model_axis: int = 2,
 
 
 def main():
+    # Force the virtual 8-device CPU mesh BEFORE first backend use: the
+    # axon sitecustomize pins the platform to the (single-device) TPU
+    # relay, so env vars alone don't work and grabbing the TPU grant here
+    # would both crash make_mesh and contend with real TPU jobs.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     results = [bench_model("resnet18"), bench_model("resnet50")]
     for r in results:
         print(json.dumps(r))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import tarfile
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -250,6 +251,24 @@ def _find_trigger_set(base: str):
     return None
 
 
+def _archive_has_trigger_set(fpath: str) -> bool:
+    """True iff the archive's member list contains the trigger-set marker
+    (a labels-cifar.txt at any depth) — checked WITHOUT extracting."""
+    try:
+        if fpath.endswith(".zip"):
+            import zipfile
+
+            with zipfile.ZipFile(fpath) as zf:
+                names = zf.namelist()
+        else:
+            mode = "r:gz" if fpath.endswith(".gz") else "r"
+            with tarfile.open(fpath, mode) as tar:
+                names = tar.getnames()
+    except Exception:  # unreadable/corrupt archive -> not a trigger set
+        return False
+    return any(os.path.basename(n) == "labels-cifar.txt" for n in names)
+
+
 def locate_trigger_set(base: str = "data/trigger_set", *,
                        allow_download: bool = False):
     """Find (or materialize) the WatermarkNN trigger set.
@@ -275,6 +294,15 @@ def locate_trigger_set(base: str = "data/trigger_set", *,
                         and fn.endswith((".tar.gz", ".tar", ".zip"))):
                     candidates.append(os.path.join(d, fn))
     for fpath in candidates:
+        # peek before extracting: a name-matched archive that does not
+        # actually contain the trigger set (e.g. an unrelated project's
+        # master.tar.gz sitting in the data dir) must not be unpacked into
+        # base — and must not be RE-unpacked on every locate call
+        if not _archive_has_trigger_set(fpath):
+            warnings.warn(
+                f"{fpath} looks like a trigger-set archive by name but "
+                "contains no pics/ + labels-cifar.txt; ignoring it")
+            continue
         os.makedirs(base, exist_ok=True)
         extract_archive(fpath, base)
         found = _find_trigger_set(base)

@@ -249,11 +249,16 @@ class StreamingImageFolder:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.decode_size = int(round(size * resize_ratio))
-        # the draft flag changes decoded pixels (DCT-domain downscale), so
-        # draft and full decodes get disjoint cache trees — a cache populated
-        # under one setting is never silently reused by the other
-        self.cache_dir = (os.path.join(cache_dir, "draft" if draft else "full")
-                          if cache_dir is not None else None)
+        # Both the draft flag (DCT-domain downscale changes decoded pixels)
+        # and the decode size (short-side resolution of the stored array)
+        # change what _decode_resized produces, so each (mode, decode_size)
+        # pair gets a disjoint cache tree — a cache populated under one
+        # setting is never silently reused by another (e.g. a 256px cache
+        # feeding a 512px run upscaled garbage).
+        self.cache_dir = (
+            os.path.join(cache_dir,
+                         f"{'draft' if draft else 'full'}{self.decode_size}")
+            if cache_dir is not None else None)
         # raw=True ships uint8 batches (4x less H2D than f32); the crop/flip
         # still happen host-side (RandomResizedCrop is not expressible as the
         # device pad-crop) — only the normalize moves onto the chip

@@ -474,6 +474,29 @@ class TestAcquireCifarAndTriggerSet:
         b = next(iter(loader))
         assert b["image"].shape == (2, 32, 32, 3)
 
+    def test_foreign_archive_not_extracted(self, tmp_path):
+        """Code review r4: a name-matched archive WITHOUT the trigger set
+        (e.g. an unrelated project's master.tar.gz in the data dir) must be
+        ignored — never unpacked into base, let alone on every call."""
+        import tarfile
+        import warnings as _warnings
+
+        from deepipr_tpu.data.acquire import locate_trigger_set
+
+        stage = tmp_path / "_stage" / "otherproj-master"
+        (stage / "src").mkdir(parents=True)
+        (stage / "src" / "main.c").write_text("int main(){}\n")
+        with tarfile.open(tmp_path / "master.tar.gz", "w:gz") as tar:
+            tar.add(stage, arcname="otherproj-master")
+
+        base = tmp_path / "trigger_set"
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            assert locate_trigger_set(str(base)) is None
+        assert any("ignoring it" in str(x.message) for x in w)
+        # nothing was written next to the datasets
+        assert not (base / "otherproj-master").exists()
+
     def test_zip_traversal_rejected(self, tmp_path):
         import zipfile
 
@@ -501,14 +524,20 @@ class TestAcquireCifarAndTriggerSet:
 
 class TestDraftCacheSeparation:
     def test_cache_trees_are_disjoint(self, image_root):
-        """ADVICE r3: draft and full decodes must not share cache entries."""
+        """ADVICE r3 + code review r4: the resized-u8 cache is keyed by BOTH
+        the draft flag and the decode size, so neither toggling --no-draft
+        nor changing the image size silently reuses stale arrays."""
         from deepipr_tpu.data.datasets import StreamingImageFolder
 
         cache = os.path.join(os.path.dirname(image_root), "cache")
-        a = StreamingImageFolder(image_root, batch_size=2, cache_dir=cache,
-                                 draft=True)
-        b = StreamingImageFolder(image_root, batch_size=2, cache_dir=cache,
-                                 draft=False)
+        kw = dict(batch_size=2, cache_dir=cache)
+        a = StreamingImageFolder(image_root, draft=True, **kw)
+        b = StreamingImageFolder(image_root, draft=False, **kw)
         assert a.cache_dir != b.cache_dir
-        assert a.cache_dir.endswith("draft")
-        assert b.cache_dir.endswith("full")
+        assert os.path.basename(a.cache_dir).startswith("draft")
+        assert os.path.basename(b.cache_dir).startswith("full")
+        # different target size -> different tree (256px cache must not feed
+        # a 512px run)
+        c = StreamingImageFolder(image_root, draft=True, size=448, **kw)
+        assert c.cache_dir != a.cache_dir
+        assert str(c.decode_size) in os.path.basename(c.cache_dir)

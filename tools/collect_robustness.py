@@ -88,8 +88,11 @@ def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
     if not paths:
         return
     lines += [f"## {title}", ""]
+    # probe EVERY per-flipperc CSV: a grid can straddle the wm-column
+    # change (older legs without wm_acc, re-run legs with it) and the
+    # column must render for whichever rows have data
     has_wm = any(r.get("wm_acc") not in (None, "")
-                 for r in read_csv(paths[0]))
+                 for p in paths for r in read_csv(p))
     header = ["flipperc", "final attacker acc", *sig_cols]
     if has_wm:
         header.append("final wm acc")

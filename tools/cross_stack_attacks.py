@@ -361,23 +361,26 @@ def main():
 
     cells = {}
     ae, fp, sd_own = args.attack_epochs, args.flipperc, tmodel.state_dict()
+    # every cell gets the CLI's seed + batch size (the recipe JSON records
+    # them, so the cells must actually be computed with them)
+    kw = dict(flipperc=fp, seed=args.seed, batch_size=args.batch_size)
     runs = [
         ("attack2/jax_ckpt/jax_attack",
-         lambda: jax_attack2(jmodel, jstate, data, ae, flipperc=fp)),
+         lambda: jax_attack2(jmodel, jstate, data, ae, **kw)),
         ("attack2/jax_ckpt/torch_attack",
-         lambda: torch_attack2(sd_from_jax, data, ae, flipperc=fp)),
+         lambda: torch_attack2(sd_from_jax, data, ae, **kw)),
         ("attack2/torch_ckpt/jax_attack",
-         lambda: jax_attack2(jmodel_t, jstate_t, data, ae, flipperc=fp)),
+         lambda: jax_attack2(jmodel_t, jstate_t, data, ae, **kw)),
         ("attack2/torch_ckpt/torch_attack",
-         lambda: torch_attack2(sd_own, data, ae, flipperc=fp)),
+         lambda: torch_attack2(sd_own, data, ae, **kw)),
         ("attack3/jax_ckpt/jax_attack",
-         lambda: jax_attack3(jmodel, jstate, data, ae, flipperc=fp)),
+         lambda: jax_attack3(jmodel, jstate, data, ae, **kw)),
         ("attack3/jax_ckpt/torch_attack",
-         lambda: torch_attack3(sd_from_jax, data, ae, flipperc=fp)),
+         lambda: torch_attack3(sd_from_jax, data, ae, **kw)),
         ("attack3/torch_ckpt/jax_attack",
-         lambda: jax_attack3(jmodel_t, jstate_t, data, ae, flipperc=fp)),
+         lambda: jax_attack3(jmodel_t, jstate_t, data, ae, **kw)),
         ("attack3/torch_ckpt/torch_attack",
-         lambda: torch_attack3(sd_own, data, ae, flipperc=fp)),
+         lambda: torch_attack3(sd_own, data, ae, **kw)),
     ]
     for name, fn in runs:
         t0 = time.time()
