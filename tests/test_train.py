@@ -415,6 +415,49 @@ class TestSharding:
                                                     atol=5e-4), a, b)
 
 
+class TestCollectiveCensus:
+    def test_parses_real_hlo_forms(self):
+        """Code review r4: the comm census must handle what XLA actually
+        emits — tuple-shaped combined all-reduces, iota-form replica groups
+        ([4,2]<=[8]), async -start forms — and must not double-count -done
+        lines. An earlier regex missed all of these and under-counted ~20x
+        (the published PARITY/DESIGN numbers were corrected alongside)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_tp", "benchmarks/bench_tensor_parallel.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        hlo = "\n".join([
+            # combined tuple all-reduce, iota groups: 4 groups of size 2
+            "  %ar.1 = (f32[64,10]{1,0}, f32[512]{0}) all-reduce("
+            "f32[64,10]{1,0} %a, f32[512]{0} %b), channel_id=1, "
+            "replica_groups=[4,2]<=[8], use_global_device_ids=true, "
+            "to_apply=%add",
+            # plain all-reduce, explicit list groups of size 4 (batch axis)
+            "  %ar.2 = f32[1000]{0} all-reduce(f32[1000]{0} %c), "
+            "replica_groups={{0,1,2,3},{4,5,6,7}}, to_apply=%add",
+            # async start on the model axis; its -done must not re-count
+            "  %ag.s = bf16[8,256]{1,0} all-gather-start("
+            "bf16[8,128]{1,0} %d), replica_groups=[4,2]<=[8], dimensions={1}",
+            "  %ag.d = bf16[8,256]{1,0} all-gather-done("
+            "bf16[8,256]{1,0} %ag.s)",
+            # non-collective noise
+            "  %fusion = f32[64,512]{1,0} fusion(f32[64,512]{1,0} %e), "
+            "kind=kLoop, calls=%fused",
+        ])
+        census = mod._collective_census(hlo, model_group_size=2)
+        # model axis: the tuple AR (64*10*4 + 512*4 bytes) + the AG start
+        assert census["model_axis_collectives"] == 2
+        assert census["model_axis_bytes"] == (64 * 10 * 4 + 512 * 4
+                                              + 8 * 256 * 2)
+        assert census["model_axis_kinds"] == ["all-gather", "all-reduce"]
+        # batch axis: the explicit-group AR only
+        assert census["other_collectives"] == 1
+        assert census["other_bytes"] == 1000 * 4
+
+
 class TestMeters:
     def test_average_meter(self):
         from deepipr_tpu.utils import AverageMeter
