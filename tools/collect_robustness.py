@@ -18,6 +18,9 @@ import glob
 import os
 
 
+USED_PATHS = []  # every CSV a rendered section cites
+
+
 def read_csv(path):
     with open(path, newline="") as f:
         return list(csv.DictReader(f))
@@ -38,6 +41,7 @@ def section_attack1(expname, tag, lines):
     paths = find("passport_attack_1", expname, f"*-{tag}.csv")
     if not paths:
         return
+    USED_PATHS.append(paths[-1])
     rows = read_csv(paths[-1])
     genuine = [r for r in rows if fnum(r["attack_rep"]) < 0]
     fakes = [r for r in rows if fnum(r["attack_rep"]) >= 0]
@@ -65,6 +69,7 @@ def section_sweep(kind, title, expname, tag, lines, extra_cols=()):
     paths = find(kind, expname, f"*-{tag}.csv")
     if not paths:
         return
+    USED_PATHS.append(paths[-1])
     rows = read_csv(paths[-1])
     cols = ["perc", "acc", "detect_mean", *extra_cols]
     # V3 grids carry black-box WM accuracy per row (attacks/*.py wm_data)
@@ -88,6 +93,7 @@ def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
     if not paths:
         return
     lines += [f"## {title}", ""]
+    USED_PATHS.extend(paths)
     # probe EVERY per-flipperc CSV: a grid can straddle the wm-column
     # change (older legs without wm_acc, re-run legs with it) and the
     # column must render for whichever rows have data
@@ -118,6 +124,7 @@ def section_forge(expname, tag, lines):
     paths = find("passport_forge_attack", expname, f"*-{tag}.csv")
     if not paths:
         return
+    USED_PATHS.append(paths[-1])
     rows = read_csv(paths[-1])
     lines += [
         "## Forge attack (beyond reference) — passports from scratch, "
@@ -147,6 +154,7 @@ def section_transfer(expname, lines):
         os.path.join("logs", f"{base}tl*", "*", "tl_1", "history.csv")))
     if not paths:
         return
+    USED_PATHS.extend(paths)
     lines += [
         "## Transfer-learning attack — fine-tune a cloned normal model "
         "(reference classification_private.py:161-330)",
@@ -197,6 +205,10 @@ def main():
     ap.add_argument("--out", default="ROBUSTNESS.md")
     ap.add_argument("--header", default=None,
                     help="extra context line (checkpoint, hardware)")
+    ap.add_argument("--copy-src-to", default=None, metavar="DIR",
+                    help="mirror every cited source CSV into DIR (layout "
+                    "logs/<kind>/<expname>/... -> DIR/<kind>/<expname>/...) "
+                    "so the gitignored logs/ tree has a committed copy")
     args = ap.parse_args()
     expnames = args.expname or ["resnet_synthetic_v2_demo200/1"]
 
@@ -225,6 +237,17 @@ def main():
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out} ({len(lines)} lines)")
+
+    if args.copy_src_to:
+        import shutil
+
+        for p in sorted(set(USED_PATHS)):
+            rel = os.path.relpath(p, "logs")
+            dest = os.path.join(args.copy_src_to, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.copy2(p, dest)
+        print(f"copied {len(set(USED_PATHS))} source CSVs "
+              f"to {args.copy_src_to}")
 
 
 if __name__ == "__main__":
