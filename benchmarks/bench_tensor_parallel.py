@@ -41,7 +41,12 @@ def _collective_census(hlo_text: str, model_group_size: int):
     ("(f32[...], f32[...]) all-reduce(...)" from the all-reduce combiner),
     async -start forms, and BOTH replica-group encodings — explicit lists
     ("replica_groups={{0,1},{2,3}}") and iota form
-    ("replica_groups=[4,2]<=[8]" = 4 groups of size 2).
+    ("replica_groups=[4,2]<=[8]" = 4 groups of size 2; N-dim iota like
+    [2,2,2]<=[8] uses the LAST dimension as the group size).
+
+    reduce-scatter's RESULT is the per-shard output, so its bytes are
+    scaled by group_size to the full logical buffer — making RS, AG and AR
+    byte counts commensurable (all report the logical buffer moved).
     """
     dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                    "pred": 1, "u8": 1, "s8": 1, "f64": 8}
@@ -58,9 +63,9 @@ def _collective_census(hlo_text: str, model_group_size: int):
         if gm:
             group_size = gm.group(1).count(",") + 1
         else:
-            gm = re.search(r"replica_groups=\[(\d+),(\d+)\]<=\[", line)
+            gm = re.search(r"replica_groups=\[([\d,]+)\]<=\[", line)
             if gm:
-                group_size = int(gm.group(2))
+                group_size = int(gm.group(1).split(",")[-1])
         total = 0
         for shp in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
             dt, dims = shp
@@ -69,6 +74,8 @@ def _collective_census(hlo_text: str, model_group_size: int):
                 if d:
                     n *= int(d)
             total += n * dtype_bytes.get(dt, 4)
+        if kind == "reduce-scatter" and group_size:
+            total *= group_size
         ops.append({"kind": kind, "bytes": total, "group_size": group_size})
     model_ops = [o for o in ops if o["group_size"] == model_group_size]
     other_ops = [o for o in ops if o["group_size"] != model_group_size]

@@ -165,13 +165,25 @@ def make_wm_loader(args, size: int):
     try:
         return prepare_wm(args.trigger_path, crop=size, shuffle=False,
                           seed=args.seed)
-    except FileNotFoundError as e:
-        print(f"WARNING: scheme 3 but no trigger set ({e}); "
+    except (FileNotFoundError, ValueError) as e:
+        # ValueError: a present-but-malformed labels-cifar.txt
+        # (np.loadtxt) should degrade like the missing-file case, not
+        # crash the attack CLI at startup (advisor r4)
+        print(f"WARNING: scheme 3 but no usable trigger set ({e}); "
               "wm_acc columns omitted")
         return None
 
 
 def write_history_csv(history: List[Dict], dirname: str, filename: str):
+    # Stamp backend/device provenance into every row (VERDICT r4: the
+    # canonical robustness record must say what hardware each cell ran on)
+    try:
+        dev = jax.devices()[0]
+        backend = f"{jax.default_backend()}:{dev.device_kind}"
+    except Exception:
+        backend = "unknown"
+    for row in history:
+        row.setdefault("backend", backend)
     os.makedirs(dirname, exist_ok=True)
     path = os.path.join(dirname, filename)
     cols = sorted({k for row in history for k in row})

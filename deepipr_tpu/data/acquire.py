@@ -105,23 +105,35 @@ def _check_zip_member(name: str, dest: str) -> None:
         raise ValueError(f"unsafe archive member path: {name!r}")
 
 
-def extract_archive(archive_path: str, dest: str) -> None:
+def extract_archive(archive_path: str, dest: str, *,
+                    only_under: str | None = None) -> None:
     """Extract a .tar / .tar.gz / .zip into `dest` (reference
-    dataset.py:96-105), validating every member path first."""
+    dataset.py:96-105), validating every member path first.
+
+    `only_under`: when set, extract ONLY members whose path contains this
+    substring (e.g. "/data/trigger_set/") — used to avoid unpacking a whole
+    WatermarkNN repo checkout when just the trigger set is wanted. Falls
+    back to extracting everything if no member matches (a flat archive)."""
+    def _keep(name: str) -> bool:
+        return only_under is None or only_under in "/" + name.replace(
+            os.sep, "/")
+
     if archive_path.endswith(".zip"):
         import zipfile
 
         with zipfile.ZipFile(archive_path) as zf:
-            for name in zf.namelist():
+            names = [n for n in zf.namelist() if _keep(n)] or zf.namelist()
+            for name in names:
                 _check_zip_member(name, dest)
-            zf.extractall(dest)
+            zf.extractall(dest, members=names)
         return
     mode = "r:gz" if archive_path.endswith(".gz") else "r"
     with tarfile.open(archive_path, mode) as tar:
         members = tar.getmembers()
-        for m in members:
+        kept = [m for m in members if _keep(m.name)] or members
+        for m in kept:
             _check_member(m, dest)
-        tar.extractall(dest, members=members, filter="data")
+        tar.extractall(dest, members=kept, filter="data")
 
 
 def download_url(url: str, fpath: str) -> None:
@@ -244,10 +256,17 @@ def _find_trigger_set(base: str):
     direct = (os.path.join(base, "pics"), os.path.join(base, "labels-cifar.txt"))
     if os.path.isdir(direct[0]) and os.path.exists(direct[1]):
         return direct
+    hits = []
     for dirpath, dirnames, filenames in os.walk(base):
         if "labels-cifar.txt" in filenames and "pics" in dirnames:
-            return (os.path.join(dirpath, "pics"),
-                    os.path.join(dirpath, "labels-cifar.txt"))
+            hits.append(dirpath)
+    if hits:
+        # deterministic when several nested trigger sets exist: prefer the
+        # shallowest, then lexicographic (advisor r4 — walk order is fs-
+        # dependent)
+        best = min(hits, key=lambda p: (p.count(os.sep), p))
+        return (os.path.join(best, "pics"),
+                os.path.join(best, "labels-cifar.txt"))
     return None
 
 
@@ -304,7 +323,9 @@ def locate_trigger_set(base: str = "data/trigger_set", *,
                 "contains no pics/ + labels-cifar.txt; ignoring it")
             continue
         os.makedirs(base, exist_ok=True)
-        extract_archive(fpath, base)
+        # a WatermarkNN repo tarball carries the whole repo tree; keep only
+        # the data/trigger_set/ subtree (advisor r4)
+        extract_archive(fpath, base, only_under="/data/trigger_set/")
         found = _find_trigger_set(base)
         if found:
             return found
@@ -312,6 +333,6 @@ def locate_trigger_set(base: str = "data/trigger_set", *,
         os.makedirs(base, exist_ok=True)
         fpath = os.path.join(base, WATERMARKNN.filename)
         download_url(WATERMARKNN.url, fpath)
-        extract_archive(fpath, base)
+        extract_archive(fpath, base, only_under="/data/trigger_set/")
         return _find_trigger_set(base)
     return None

@@ -159,7 +159,12 @@ class Experiment:
         self.logdir = os.path.join(self.logdir, str(expid))
         os.makedirs(os.path.join(self.logdir, "models"), exist_ok=True)
         with open(os.path.join(self.logdir, "config.json"), "w") as f:
-            json.dump(self.args, f, indent=4)
+            try:
+                dev = jax.devices()[0]
+                backend = f"{jax.default_backend()}:{dev.device_kind}"
+            except Exception:
+                backend = "unknown"
+            json.dump({**self.args, "backend": backend}, f, indent=4)
 
     def append_history(self, metrics: Dict):
         path = os.path.join(self.logdir, "history.csv")

@@ -6,10 +6,7 @@ from deepipr_tpu.utils.config import (
     load_lr_config,
     load_passport_config,
 )
-from deepipr_tpu.utils.meters import AverageMeter
-
 __all__ = [
-    "AverageMeter",
     "construct_passport_kwargs",
     "construct_passport_kwargs_from_dict",
     "load_lr_config",

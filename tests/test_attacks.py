@@ -360,3 +360,43 @@ class TestLoadAttackedModelDeviceCommit:
         assert leaves, "empty state"
         for leaf in leaves:
             assert isinstance(leaf, jax.Array), type(leaf)
+
+
+class TestWmLoaderDegradation:
+    def test_malformed_labels_degrade_to_warning(self, tmp_path, capsys):
+        """Advisor r4: a present-but-malformed labels-cifar.txt must omit
+        the wm columns (like the missing-file case), not crash the CLI."""
+        from types import SimpleNamespace
+
+        from deepipr_tpu.attacks.cli_common import make_wm_loader
+
+        trig = tmp_path / "trigger_set"
+        (trig / "pics").mkdir(parents=True)
+        from PIL import Image
+        import numpy as _np
+
+        Image.fromarray(
+            _np.zeros((40, 40, 3), dtype=_np.uint8)).save(
+                trig / "pics" / "0.png")
+        (trig / "labels-cifar.txt").write_text("not-a-number\n")
+
+        args = SimpleNamespace(scheme=3, trigger_path=str(trig / "pics"),
+                               seed=0)
+        out = make_wm_loader(args, size=32)
+        assert out is None
+        assert "wm_acc columns omitted" in capsys.readouterr().out
+
+
+class TestBackendProvenance:
+    def test_history_rows_stamped_with_backend(self, tmp_path):
+        """VERDICT r4 weak-4: every attack CSV row records the backend it
+        ran on, so the committed robustness grid carries provenance."""
+        import csv as _csv
+
+        from deepipr_tpu.attacks.cli_common import write_history_csv
+
+        write_history_csv([{"epoch": 1, "acc": 50.0}], str(tmp_path),
+                          "h.csv")
+        with open(tmp_path / "h.csv", newline="") as f:
+            rows = list(_csv.DictReader(f))
+        assert rows[0]["backend"].startswith(jax.default_backend())

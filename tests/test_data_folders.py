@@ -497,6 +497,54 @@ class TestAcquireCifarAndTriggerSet:
         # nothing was written next to the datasets
         assert not (base / "otherproj-master").exists()
 
+    def test_repo_tarball_extracts_only_trigger_subtree(self, tmp_path):
+        """Advisor r4: a WatermarkNN repo tarball carries the whole repo
+        tree; only */data/trigger_set/ may be unpacked into base."""
+        import shutil
+        import tarfile
+
+        from deepipr_tpu.data.acquire import locate_trigger_set
+
+        stage = tmp_path / "_stage"
+        stage.mkdir()
+        repo = self._make_wm_tree(stage, nested=True)
+        del repo
+        top = stage / "WatermarkNN-master"
+        (top / "src").mkdir()
+        (top / "src" / "train.py").write_text("print('repo code')\n")
+        (top / "README.md").write_text("readme\n")
+        base = tmp_path / "trigger_set"
+        base.mkdir()
+        with tarfile.open(base / "WatermarkNN.tar.gz", "w:gz") as tar:
+            tar.add(top, arcname="WatermarkNN-master")
+        shutil.rmtree(stage)
+
+        found = locate_trigger_set(str(base))
+        assert found is not None
+        ext = base / "WatermarkNN-master"
+        assert (ext / "data" / "trigger_set" / "pics").is_dir()
+        assert not (ext / "src").exists()
+        assert not (ext / "README.md").exists()
+
+    def test_find_trigger_set_prefers_shallowest(self, tmp_path):
+        """Advisor r4: with several nested trigger sets, the shallowest
+        (then lexicographically first) wins — not os.walk order."""
+        from deepipr_tpu.data.acquire import _find_trigger_set
+
+        base = tmp_path / "trigger_set"
+        deep = base / "zz" / "deeper"
+        deep.mkdir(parents=True)
+        self._make_wm_tree(deep, nested=False)
+        shallow = base / "b_shallow"
+        shallow.mkdir()
+        self._make_wm_tree(shallow, nested=False)
+        shallow2 = base / "a_shallow"
+        shallow2.mkdir()
+        self._make_wm_tree(shallow2, nested=False)
+
+        pics, labels = _find_trigger_set(str(base))
+        assert pics == str(base / "a_shallow" / "pics")
+
     def test_zip_traversal_rejected(self, tmp_path):
         import zipfile
 

@@ -443,33 +443,32 @@ class TestCollectiveCensus:
             "bf16[8,128]{1,0} %d), replica_groups=[4,2]<=[8], dimensions={1}",
             "  %ag.d = bf16[8,256]{1,0} all-gather-done("
             "bf16[8,256]{1,0} %ag.s)",
+            # reduce-scatter: RESULT is the per-shard output — census must
+            # scale by group_size to the full logical buffer (advisor r4)
+            "  %rs.1 = f32[8,64]{1,0} reduce-scatter(f32[8,128]{1,0} %f), "
+            "replica_groups=[4,2]<=[8], dimensions={1}, to_apply=%add",
+            # N-dim iota groups ([2,2,2]<=[8]): group size = LAST dim
+            "  %ar.3 = f32[100]{0} all-reduce(f32[100]{0} %g), "
+            "replica_groups=[2,2,2]<=[8], to_apply=%add",
             # non-collective noise
             "  %fusion = f32[64,512]{1,0} fusion(f32[64,512]{1,0} %e), "
             "kind=kLoop, calls=%fused",
         ])
         census = mod._collective_census(hlo, model_group_size=2)
-        # model axis: the tuple AR (64*10*4 + 512*4 bytes) + the AG start
-        assert census["model_axis_collectives"] == 2
+        # model axis: tuple AR + AG start + scaled RS + N-dim-iota AR
+        assert census["model_axis_collectives"] == 4
         assert census["model_axis_bytes"] == (64 * 10 * 4 + 512 * 4
-                                              + 8 * 256 * 2)
-        assert census["model_axis_kinds"] == ["all-gather", "all-reduce"]
+                                              + 8 * 256 * 2
+                                              + 8 * 64 * 4 * 2  # RS x group
+                                              + 100 * 4)
+        assert census["model_axis_kinds"] == [
+            "all-gather", "all-reduce", "reduce-scatter"]
         # batch axis: the explicit-group AR only
         assert census["other_collectives"] == 1
         assert census["other_bytes"] == 1000 * 4
 
 
-class TestMeters:
-    def test_average_meter(self):
-        from deepipr_tpu.utils import AverageMeter
-        m = AverageMeter()
-        m.update(1.0)
-        m.update(3.0, n=3)
-        assert m.val == 3.0
-        assert m.count == 4
-        assert m.avg == pytest.approx(2.5)
-        m.reset()
-        assert m.avg == 0.0 and m.count == 0
-
+class TestRunEval:
     def test_run_eval_empty_dataset(self):
         from deepipr_tpu.train.steps import run_eval
         out = run_eval(None, None, [])

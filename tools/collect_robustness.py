@@ -33,6 +33,15 @@ def fnum(x, default=float("nan")):
         return default
 
 
+def backends_of(*row_lists):
+    """Distinct backend stamps across CSV rows (cli_common writes a
+    `backend` column per row since round 5) — rendered next to each
+    Source line so provenance is in the committed record."""
+    seen = sorted({r.get("backend") for rows in row_lists for r in rows
+                   if r.get("backend") not in (None, "")})
+    return f" (backend: {', '.join(seen)})" if seen else ""
+
+
 def find(kind, expname, pattern="*.csv"):
     return sorted(glob.glob(os.path.join("logs", kind, expname, pattern)))
 
@@ -60,7 +69,7 @@ def section_attack1(expname, tag, lines):
         f"| fake (best for attacker) | {max(accs):.2f}% "
         f"| {100 * max(signs):.2f}% |",
         "",
-        f"Source: `{paths[-1]}`",
+        f"Source: `{paths[-1]}`{backends_of(rows)}",
         "",
     ]
 
@@ -84,7 +93,7 @@ def section_sweep(kind, title, expname, tag, lines, extra_cols=()):
             vals.append(f"{v * 100:.1f}%" if c == "detect_mean"
                         else f"{v:.2f}")
         lines.append("| " + " | ".join(vals) + " |")
-    lines += ["", f"Source: `{paths[-1]}`", ""]
+    lines += ["", f"Source: `{paths[-1]}`{backends_of(rows)}", ""]
 
 
 def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
@@ -94,18 +103,18 @@ def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
         return
     lines += [f"## {title}", ""]
     USED_PATHS.extend(paths)
+    by_path = [(p, read_csv(p)) for p in paths]  # read each CSV once
     # probe EVERY per-flipperc CSV: a grid can straddle the wm-column
     # change (older legs without wm_acc, re-run legs with it) and the
     # column must render for whichever rows have data
     has_wm = any(r.get("wm_acc") not in (None, "")
-                 for p in paths for r in read_csv(p))
+                 for _, rows in by_path for r in rows)
     header = ["flipperc", "final attacker acc", *sig_cols]
     if has_wm:
         header.append("final wm acc")
     lines += ["| " + " | ".join(header) + " |", "|" + "---|" * len(header)]
-    for p in paths:
+    for p, rows in by_path:
         fp = os.path.splitext(p)[0].rsplit("-", 1)[-1]
-        rows = read_csv(p)
         final = rows[-1]
         vals = [fp, f"{fnum(final.get(acc_col)):.2f}%"]
         for c in sig_cols:
@@ -117,7 +126,8 @@ def section_retrain(kind, title, expname, tag, lines, acc_col="valid_acc",
                      if r.get("wm_acc") not in (None, "")]
             vals.append(f"{cands[-1]:.2f}%" if cands else "—")
         lines.append("| " + " | ".join(vals) + " |")
-    lines += ["", "Sources: " + ", ".join(f"`{p}`" for p in paths), ""]
+    lines += ["", "Sources: " + ", ".join(f"`{p}`" for p in paths)
+              + backends_of(*[rows for _, rows in by_path]), ""]
 
 
 def section_forge(expname, tag, lines):
@@ -140,7 +150,7 @@ def section_forge(expname, tag, lines):
             f"| {fnum(r['valid_acc_forged']):.2f}% "
             f"| {fnum(r['valid_acc_owner']):.2f}% "
             f"| {100 * fnum(r['forged_signacc_vs_attacker_b']):.2f}% |")
-    lines += ["", f"Source: `{paths[-1]}`", ""]
+    lines += ["", f"Source: `{paths[-1]}`{backends_of(rows)}", ""]
 
 
 def section_transfer(expname, lines):
