@@ -86,7 +86,8 @@ def make_shared_data(num_train: int, num_test: int, seed: int = 0):
 
 
 def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
-              eval_every: int, seed: int = 0, arch: str = "alexnet"):
+              eval_every: int, seed: int = 0, arch: str = "alexnet",
+              key_override=None):
     """Train the reference's AlexNet/ResNet18 PassportPrivate with the
     reference's own TrainerPrivate hot loop (trainer_private.py:118-210)
     on CPU."""
@@ -146,6 +147,11 @@ def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
                                        to_t(src_images[idx_y]))
 
         set_keys_from(xte)
+        if key_override is not None:
+            # passport-transplant hook (tools/diagnose_attack3.py): replace
+            # the freshly selected keys in place, AFTER set_key registered
+            # the buffers, so training proceeds with the caller's passports
+            key_override(model)
 
         optimizer = torch.optim.SGD(model.parameters(), lr=0.01,
                                     momentum=0.9, weight_decay=1e-4)
@@ -198,7 +204,8 @@ def run_torch(data, epochs: int, batch_size: int, attack_reps: int,
 
 
 def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
-            eval_every: int, seed: int = 0, arch: str = "alexnet"):
+            eval_every: int, seed: int = 0, arch: str = "alexnet",
+            passports=None):
     """Train our AlexNet/ResNet18 V2 with the canonical step on the same
     tensors."""
     import numpy as np
@@ -257,8 +264,10 @@ def run_jax(data, epochs: int, batch_size: int, attack_reps: int,
         ky = sample_candidates(xte, 20, seed=select_seed + 1)
         return setup_passports(normal, nv, pp, kx, ky, seed=select_seed + 2)
 
-    variables["passport"] = fresh_passports(
-        jax.device_get(variables["passport"]), seed + 10)
+    variables["passport"] = (passports if passports is not None
+                             else fresh_passports(
+                                 jax.device_get(variables["passport"]),
+                                 seed + 10))
     state = TrainState.create(variables, sgd_optimizer(0.01))
 
     step = make_train_step(model, private=True)
