@@ -30,16 +30,22 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s, same constant as the BASELINE.md MFU row
 
 
 def build(batch_size: int, size: int = 224, num_classes: int = 1000,
-          jit: bool = True, with_batch: bool = True):
+          jit: bool = True, with_batch: bool = True, private: bool = True,
+          dtype_name: str = "bf16", augment: str = "device"):
     """with_batch=False skips building/shipping the single batch (scan mode
     builds its own K-batch window; a 19-38 MB unused uint8 transfer is real
-    money on the relay's slow H2D link)."""
+    money on the relay's slow H2D link).
+
+    private/dtype_name/augment exist for the --audit byte accounting:
+    augment='device' ships raw uint8 + fused normalize (the production
+    wiring), 'none' ships a pre-normalized compute-dtype batch.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from deepipr_tpu.data.device_augment import normalize_device
-    from deepipr_tpu.models import ResNet18Private
+    from deepipr_tpu.models import ResNet18, ResNet18Private
     from deepipr_tpu.train.schedule import sgd_optimizer
     from deepipr_tpu.train.state import TrainState
     from deepipr_tpu.train.steps import make_train_step
@@ -48,11 +54,17 @@ def build(batch_size: int, size: int = 224, num_classes: int = 1000,
         load_passport_config,
     )
 
-    cfg = load_passport_config("passport_configs/resnet18_passport.json")
-    kwargs, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
-    model = ResNet18Private(num_classes=num_classes, passport_kwargs=kwargs,
-                            imagenet=True, dtype=jnp.bfloat16)
-    rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    if private:
+        cfg = load_passport_config("passport_configs/resnet18_passport.json")
+        kwargs, _ = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        model = ResNet18Private(num_classes=num_classes,
+                                passport_kwargs=kwargs,
+                                imagenet=True, dtype=dtype)
+        rngs = {"params": jax.random.key(0), "passport": jax.random.key(1)}
+    else:
+        model = ResNet18(num_classes=num_classes, imagenet=True, dtype=dtype)
+        rngs = {"params": jax.random.key(0)}
     variables = model.init(rngs, jnp.zeros((1, size, size, 3), jnp.float32),
                            train=True)
     state = TrainState.create(variables, sgd_optimizer(0.01))
@@ -60,18 +72,26 @@ def build(batch_size: int, size: int = 224, num_classes: int = 1000,
     batch = None
     if with_batch:
         rng = np.random.default_rng(0)
+        if augment == "device":
+            image = jax.device_put(rng.integers(
+                0, 256, (batch_size, size, size, 3), dtype=np.uint8))
+        else:
+            image = jax.device_put(
+                rng.standard_normal(
+                    (batch_size, size, size, 3)).astype(np.float32)
+                .astype(dtype))
         batch = {
             # raw uint8, normalize fused into the step: the streaming
             # --device-augment wiring (4x less H2D; H2D is out of the timed
             # region anyway — the batch is device-resident)
-            "image": jax.device_put(rng.integers(
-                0, 256, (batch_size, size, size, 3), dtype=np.uint8)),
+            "image": image,
             "label": jax.device_put(rng.integers(
                 0, num_classes, batch_size).astype(np.int32)),
         }
     step = make_train_step(
-        model, private=True,
-        device_augment=lambda key, x: normalize_device(x, jnp.bfloat16),
+        model, private=private,
+        device_augment=(lambda key, x: normalize_device(x, dtype))
+        if augment == "device" else None,
         jit=jit,
     )
     return model, state, step, batch
@@ -174,10 +194,49 @@ def bench_scan(batch_size: int, k: int = 8, reps: int = 4, size: int = 224,
     }
 
 
+def audit(batch_size: int = 256):
+    """Byte accounting (VERDICT r4 item 6): compile step VARIANTS and diff
+    their cost_analysis totals to locate where the 22.1 GB/step goes before
+    spending timing runs on a lever. Compile-only — each relay compile is
+    ~1-2 min but no training time."""
+    variants = [
+        ("base: private bf16 device-augment 224",
+         dict(private=True, dtype_name="bf16", augment="device", size=224)),
+        ("public-only (no dual forward)",
+         dict(private=False, dtype_name="bf16", augment="device", size=224)),
+        ("f32 compute dtype",
+         dict(private=True, dtype_name="f32", augment="device", size=224)),
+        ("pre-normalized input (no fused augment)",
+         dict(private=True, dtype_name="bf16", augment="none", size=224)),
+        ("112px (spatial scaling)",
+         dict(private=True, dtype_name="bf16", augment="device", size=112)),
+    ]
+    rows = []
+    for name, kw in variants:
+        size = kw.pop("size")
+        _, state, step, batch = build(batch_size, size=size, **kw)
+        compiled = step.lower(state, batch).compile()
+        roof = _roofline(compiled.cost_analysis())
+        row = {"variant": name, "batch_size": batch_size,
+               "tflop_per_step": round(roof.pop("flops") / 1e12, 4), **roof}
+        try:
+            mem = compiled.memory_analysis()
+            row["temp_alloc_gb"] = round(mem.temp_size_in_bytes / 1e9, 3)
+            row["argument_gb"] = round(mem.argument_size_in_bytes / 1e9, 3)
+        except Exception:
+            pass
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        del state, batch, compiled
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="bs128 per-step + scan only")
+    ap.add_argument("--audit", action="store_true",
+                    help="compile-only byte accounting across step variants")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--bs", default=None,
                     help="comma-separated per-step batch sizes "
@@ -186,6 +245,10 @@ def main():
                     help="comma-separated scan-mode batch sizes "
                          "(default 128,256)")
     args = ap.parse_args()
+
+    if args.audit:
+        audit()
+        return
 
     rows = []
     if args.quick:

@@ -235,6 +235,17 @@ def main():
         "source CSV: `docs/demo/robustness_grid/` (the logs/ tree is "
         "gitignored).",
         "",
+        "**Caveat — synthetic, memorizable task (applies to EVERY table "
+        "below).** All numbers are measured on the offline 2048-image "
+        "synthetic dataset (real CIFAR is blocked by the zero-egress "
+        "environment; BASELINE.md). A task this small is memorizable, so "
+        "retraining attacks (attack 2/3, data-refined forge) can fully "
+        "recover task accuracy here — the OPPOSITE of the reference's "
+        "CIFAR-10 narrative, where they degrade the model. These grids "
+        "prove the attack machinery end-to-end and bound nothing about "
+        "real-data robustness; real-data parity is one command once "
+        "archives land (docs/MIGRATION.md).",
+        "",
     ]
     if args.header:
         lines += [args.header, ""]

@@ -35,13 +35,71 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cross_stack_parity import (  # noqa: E402 (same tools/ dir)
-    ALEXNET_CFG,
+    load_cfg,
     make_shared_data,
+    ref_passport_kwargs,
     run_jax,
     run_torch,
 )
 
-PLKEYS = [k for k, flag in ALEXNET_CFG.items() if flag]  # '4','5','6'
+
+def plkeys_for(arch: str):
+    """Dotted passport-layer keys, the reference's plkeys format
+    (experiments/utils.py construct_passport_kwargs_from_dict)."""
+    from deepipr_tpu.utils.config import construct_passport_kwargs
+
+    _, plkeys = construct_passport_kwargs(load_cfg(arch), "bn", "shuffle",
+                                          0.1)
+    return plkeys
+
+
+def _ref_block(model, plkey):
+    """Walk a reference model to the block a plkey names
+    (passport_attack_2.py:180-199: features[i] for alexnet,
+    layer_key[i].module_key for resnet)."""
+    if plkey.isdigit():
+        return model.features[int(plkey)]
+    layer_key, i, module_key = plkey.split(".")
+    return getattr(getattr(model, layer_key)[int(i)], module_key)
+
+
+def _ref_passport_model(arch: str, scheme2_private: bool = True):
+    """Construct the reference's private passport model for `arch`."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_reference_parity import _ref_layer_kwargs
+
+    kwargs = ref_passport_kwargs(arch, load_cfg(arch), _ref_layer_kwargs)
+    if arch == "alexnet":
+        from models.alexnet_passport_private import AlexNetPassportPrivate
+
+        return AlexNetPassportPrivate(3, 10, kwargs)
+    from models.resnet_passport_private import ResNet18Private
+
+    return ResNet18Private(num_classes=10, passport_kwargs=kwargs)
+
+
+def _ref_normal_model(arch: str):
+    """Scheme-2 attacker model: GN normal net (passport_attack_2.py:144-148)."""
+    if arch == "alexnet":
+        from models.alexnet_normal import AlexNetNormal
+
+        return AlexNetNormal(3, 10, "gn")
+    from models.resnet_normal import ResNet18
+
+    return ResNet18(num_classes=10, norm_type="gn")
+
+
+def _jax_models(arch: str):
+    """(private passport model, GN normal attacker model) here."""
+    from deepipr_tpu.models import AlexNet, ResNet18
+    from deepipr_tpu.utils.config import construct_passport_kwargs
+
+    kw, _ = construct_passport_kwargs(load_cfg(arch), "bn", "shuffle", 0.1)
+    if arch == "alexnet":
+        return (AlexNet(num_classes=10, passport_kwargs=kw, private=True),
+                AlexNet(num_classes=10, norm_type="gn"))
+    return (ResNet18(num_classes=10, passport_kwargs=kw, private=True),
+            ResNet18(num_classes=10, norm_type="gn"))
 
 
 def _stub_torchvision_full():
@@ -111,45 +169,39 @@ def _torch_loaders(data, batch_size):
 
 
 def torch_attack2(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
-                  batch_size=64):
+                  batch_size=64, arch="alexnet"):
     """The reference's attack 2 on a state dict (passport_attack_2.py:
     119-316 construction, replicated; its train/test loops imported)."""
     import numpy as np
     import torch
     import torch.nn as nn
 
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_reference_parity import _ref_layer_kwargs
-
+    plkeys = plkeys_for(arch)
     _stub_torchvision_full()
     sys.path.insert(0, REFERENCE)
     try:
-        from models.alexnet_normal import AlexNetNormal
-        from models.alexnet_passport_private import AlexNetPassportPrivate
         from passport_attack_2 import test, train
 
         torch.manual_seed(seed)
         np.random.seed(seed)
         trainloader, valloader = _torch_loaders(data, batch_size)
 
-        kwargs = {k: _ref_layer_kwargs(v) for k, v in ALEXNET_CFG.items()}
-        passport_model = AlexNetPassportPrivate(3, 10, kwargs)
+        passport_model = _ref_passport_model(arch)
         passport_model.load_state_dict(sd)
-        # scheme 2 attacker model is GN (passport_attack_2.py:144)
-        model = AlexNetNormal(3, 10, "gn")
+        # scheme 2 attacker model is GN (passport_attack_2.py:144-148)
+        model = _ref_normal_model(arch)
         model.load_state_dict(sd, strict=False)
 
         for param in model.parameters():
             param.requires_grad_(False)
-        # copy derived scale/bias into the affines (lines 179-186)
-        for fidx in PLKEYS:
-            fidx = int(fidx)
-            model.features[fidx].bn.weight.data.copy_(
-                passport_model.features[fidx].get_scale().view(-1))
-            model.features[fidx].bn.bias.data.copy_(
-                passport_model.features[fidx].get_bias().view(-1))
-            model.features[fidx].bn.weight.requires_grad_(True)
-            model.features[fidx].bn.bias.requires_grad_(True)
+        # copy derived scale/bias into the affines (lines 179-199)
+        for fidx in plkeys:
+            blk, pblk = _ref_block(model, fidx), _ref_block(passport_model,
+                                                            fidx)
+            blk.bn.weight.data.copy_(pblk.get_scale().view(-1))
+            blk.bn.bias.data.copy_(pblk.get_bias().view(-1))
+            blk.bn.weight.requires_grad_(True)
+            blk.bn.bias.requires_grad_(True)
 
         optimizer = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
                                     weight_decay=0.0005)
@@ -158,11 +210,12 @@ def torch_attack2(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
         # reset scales to +-1 keeping (1-flipperc) of the signs, zero the
         # biases (lines 227-287)
         conv_weights_to_reset, total = [], 0
-        for fidx in PLKEYS:
-            w = model.features[int(fidx)].bn.weight
+        for fidx in plkeys:
+            blk = _ref_block(model, fidx)
+            w = blk.bn.weight
             conv_weights_to_reset.append(w)
             total += w.size(0)
-            model.features[int(fidx)].bn.bias.data.zero_()
+            blk.bn.bias.data.zero_()
         idxs = torch.randperm(total)[: int(total * flipperc)]
         for w in conv_weights_to_reset:
             size = w.size(0)
@@ -183,7 +236,7 @@ def torch_attack2(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
 
 
 def torch_attack3(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
-                  batch_size=64):
+                  batch_size=64, arch="alexnet"):
     """The reference's ambiguity attack on a state dict
     (passport_attack_3.py:176-330 construction, replicated; its
     train_maximize/test loops imported)."""
@@ -191,13 +244,9 @@ def torch_attack3(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
     import torch
     import torch.nn as nn
 
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_reference_parity import _ref_layer_kwargs
-
     _stub_torchvision_full()
     sys.path.insert(0, REFERENCE)
     try:
-        from models.alexnet_passport_private import AlexNetPassportPrivate
         from models.layers.passportconv2d import PassportBlock
         from models.layers.passportconv2d_private import (
             PassportPrivateBlock,
@@ -208,8 +257,7 @@ def torch_attack3(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
         np.random.seed(seed)
         trainloader, valloader = _torch_loaders(data, batch_size)
 
-        kwargs = {k: _ref_layer_kwargs(v) for k, v in ALEXNET_CFG.items()}
-        model = AlexNetPassportPrivate(3, 10, kwargs)
+        model = _ref_passport_model(arch)
         model.load_state_dict(sd)
         for param in model.parameters():
             param.requires_grad_(False)
@@ -263,17 +311,14 @@ def torch_attack3(sd, data, epochs, lr=0.01, flipperc=0.0, seed=0,
 
 
 def jax_attack2(model, state, data, epochs, lr=0.01, flipperc=0.0, seed=0,
-                batch_size=64):
-    import jax
-
+                batch_size=64, arch="alexnet"):
     from deepipr_tpu.attacks import plkey_to_module_path, reverse_attack
-    from deepipr_tpu.models import AlexNet
 
     xtr, ytr, xte, yte = data
     train_b = _batches(xtr, ytr, batch_size)
     valid_b = _batches(xte, yte, batch_size)
-    normal = AlexNet(num_classes=10, norm_type="gn")
-    plpaths = [plkey_to_module_path(k) for k in PLKEYS]
+    _, normal = _jax_models(arch)
+    plpaths = [plkey_to_module_path(k) for k in plkeys_for(arch)]
     hist = reverse_attack(model, state, normal, train_b, valid_b,
                           (1, 32, 32, 3), True, plpaths,
                           flipperc=flipperc, epochs=epochs, lr=lr, seed=seed)
@@ -281,7 +326,7 @@ def jax_attack2(model, state, data, epochs, lr=0.01, flipperc=0.0, seed=0,
 
 
 def jax_attack3(model, state, data, epochs, lr=0.01, flipperc=0.0, seed=0,
-                batch_size=64):
+                batch_size=64, arch="alexnet"):
     from deepipr_tpu.attacks import ambiguity_attack
     from deepipr_tpu.train.steps import make_eval_step, run_eval
 
@@ -316,32 +361,35 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="alexnet",
+                    choices=["alexnet", "resnet18"])
     ap.add_argument("--train-epochs", type=int, default=10)
     ap.add_argument("--attack-epochs", type=int, default=15)
     ap.add_argument("--num-train", type=int, default=1024)
     ap.add_argument("--num-test", type=int, default=512)
     ap.add_argument("--batch-size", type=int, default=64)
-    ap.add_argument("--flipperc", type=float, default=0.0)
+    ap.add_argument("--flipperc", type=float, nargs="+", default=[0.0],
+                    help="flip percentages to sweep (attacking.sh sweeps "
+                         "0.0/0.1/0.5 for attack 3)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="docs/demo")
     args = ap.parse_args()
 
-    import numpy as np
     import jax.numpy as jnp
 
     from deepipr_tpu.interop.torch_export import export_torch_state_dict
     from deepipr_tpu.interop.torch_import import import_torch_checkpoint
-    from deepipr_tpu.models import AlexNet
     from deepipr_tpu.train import TrainState, sgd_optimizer
-    from deepipr_tpu.utils.config import construct_passport_kwargs
 
+    arch = args.arch
     data = make_shared_data(args.num_train, args.num_test, args.seed)
 
     t0 = time.time()
-    print("== training both stacks on shared data ==", flush=True)
+    print(f"== training both stacks on shared data ({arch}) ==", flush=True)
     tres = run_torch(data, args.train_epochs, args.batch_size, 1, 5,
-                     args.seed)
-    jres = run_jax(data, args.train_epochs, args.batch_size, 1, 5, args.seed)
+                     args.seed, arch=arch)
+    jres = run_jax(data, args.train_epochs, args.batch_size, 1, 5, args.seed,
+                   arch=arch)
     tmodel = tres.pop("_model")
     jmodel, jstate = jres.pop("_model"), jres.pop("_state")
     print(f"trained: torch priv {tres['valid_acc_private']:.1f}% / "
@@ -350,58 +398,63 @@ def main():
 
     # --- checkpoint conversion both ways
     sd_from_jax = export_torch_state_dict(jmodel, jstate.model_variables())
-    kw, _ = construct_passport_kwargs(ALEXNET_CFG, "bn", "shuffle", 0.1)
-    tmpl = AlexNet(num_classes=10, passport_kwargs=kw, private=True).init(
+    jmodel_t, _ = _jax_models(arch)
+    tmpl = jmodel_t.init(
         {"params": jax.random.key(0), "passport": jax.random.key(1)},
         jnp.zeros((2, 32, 32, 3)), train=True)
-    jmodel_t = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
     v_from_torch = import_torch_checkpoint(tmodel.state_dict(), tmpl,
                                            strict=True)
     jstate_t = TrainState.create(v_from_torch, sgd_optimizer(0.01))
 
     cells = {}
-    ae, fp, sd_own = args.attack_epochs, args.flipperc, tmodel.state_dict()
-    # every cell gets the CLI's seed + batch size (the recipe JSON records
-    # them, so the cells must actually be computed with them)
-    kw = dict(flipperc=fp, seed=args.seed, batch_size=args.batch_size)
-    runs = [
-        ("attack2/jax_ckpt/jax_attack",
-         lambda: jax_attack2(jmodel, jstate, data, ae, **kw)),
-        ("attack2/jax_ckpt/torch_attack",
-         lambda: torch_attack2(sd_from_jax, data, ae, **kw)),
-        ("attack2/torch_ckpt/jax_attack",
-         lambda: jax_attack2(jmodel_t, jstate_t, data, ae, **kw)),
-        ("attack2/torch_ckpt/torch_attack",
-         lambda: torch_attack2(sd_own, data, ae, **kw)),
-        ("attack3/jax_ckpt/jax_attack",
-         lambda: jax_attack3(jmodel, jstate, data, ae, **kw)),
-        ("attack3/jax_ckpt/torch_attack",
-         lambda: torch_attack3(sd_from_jax, data, ae, **kw)),
-        ("attack3/torch_ckpt/jax_attack",
-         lambda: jax_attack3(jmodel_t, jstate_t, data, ae, **kw)),
-        ("attack3/torch_ckpt/torch_attack",
-         lambda: torch_attack3(sd_own, data, ae, **kw)),
-    ]
-    for name, fn in runs:
-        t0 = time.time()
-        cells[name] = fn()
-        cells[name]["seconds"] = round(time.time() - t0, 1)
-        print(json.dumps({name: cells[name]}), flush=True)
+    ae, sd_own = args.attack_epochs, tmodel.state_dict()
+    for fp in args.flipperc:
+        # every cell gets the CLI's seed + batch size (the recipe JSON
+        # records them, so the cells must actually be computed with them)
+        kw = dict(flipperc=fp, seed=args.seed, batch_size=args.batch_size,
+                  arch=arch)
+        runs = [
+            ("attack2/jax_ckpt/jax_attack",
+             lambda: jax_attack2(jmodel, jstate, data, ae, **kw)),
+            ("attack2/jax_ckpt/torch_attack",
+             lambda: torch_attack2(sd_from_jax, data, ae, **kw)),
+            ("attack2/torch_ckpt/jax_attack",
+             lambda: jax_attack2(jmodel_t, jstate_t, data, ae, **kw)),
+            ("attack2/torch_ckpt/torch_attack",
+             lambda: torch_attack2(sd_own, data, ae, **kw)),
+            ("attack3/jax_ckpt/jax_attack",
+             lambda: jax_attack3(jmodel, jstate, data, ae, **kw)),
+            ("attack3/jax_ckpt/torch_attack",
+             lambda: torch_attack3(sd_from_jax, data, ae, **kw)),
+            ("attack3/torch_ckpt/jax_attack",
+             lambda: jax_attack3(jmodel_t, jstate_t, data, ae, **kw)),
+            ("attack3/torch_ckpt/torch_attack",
+             lambda: torch_attack3(sd_own, data, ae, **kw)),
+        ]
+        for name, fn in runs:
+            name = f"{name}/fp{fp:g}"
+            t0 = time.time()
+            cells[name] = fn()
+            cells[name]["seconds"] = round(time.time() - t0, 1)
+            print(json.dumps({name: cells[name]}), flush=True)
 
     payload = {
         "cells": cells,
         "baseline": {"torch_valid_acc_private": tres["valid_acc_private"],
                      "jax_valid_acc_private": jres["valid_acc_private"]},
-        "recipe": {"arch": "alexnet", "scheme": 2,
+        "recipe": {"arch": arch, "scheme": 2,
                    "train_epochs": args.train_epochs,
                    "attack_epochs": args.attack_epochs,
                    "num_train": args.num_train, "num_test": args.num_test,
-                   "flipperc": args.flipperc, "seed": args.seed},
+                   "flipperc": args.flipperc, "seed": args.seed,
+                   "backend": "cpu (shared environment, both stacks)"},
     }
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "cross_stack_attacks.json"), "w") as f:
+    fname = ("cross_stack_attacks.json" if arch == "alexnet"
+             else f"cross_stack_attacks_{arch}.json")
+    with open(os.path.join(args.out, fname), "w") as f:
         json.dump(payload, f, indent=1)
-    print("wrote", os.path.join(args.out, "cross_stack_attacks.json"))
+    print("wrote", os.path.join(args.out, fname))
 
 
 if __name__ == "__main__":
