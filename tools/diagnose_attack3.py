@@ -259,8 +259,12 @@ def main():
         "num_test": args.num_test, "batch_size": bs, "seeds": seeds,
         "flipperc": 0.0, "noise_sigmas": list(SIGMAS),
     }
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "attack3_asymmetry.json")
+    if args.out.endswith(".json"):  # full output path (e.g. an epochs-sweep variant)
+        path = args.out
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    else:
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "attack3_asymmetry.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", path)

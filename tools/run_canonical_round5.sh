@@ -23,28 +23,47 @@ PRE=logs/resnet_synthetic_v0_demo200pre/1/models/best.ckpt
 
 step() { echo "=== [$(date +%T)] $*"; }
 
+# The relay's remote-compile service occasionally drops a response mid-read
+# (observed: "response body closed before all bytes were read"); retry each
+# step up to 3x. Training steps must wipe their partial rundir between
+# attempts or the auto-incrementing expid breaks the hardcoded /1 paths.
+retry_train() {  # retry_train <rundir> <cmd...>
+  local rundir=$1; shift
+  for i in 1 2 3; do
+    "$@" && return 0
+    echo "!!! attempt $i failed: $* — wiping $rundir and retrying in 60s"
+    rm -rf "$rundir"; sleep 60
+  done
+  echo "!!! giving up: $*"; return 1
+}
+
 step "scheme-0 pretrained (200 ep)"
-python train_v1.py $T --tag demo200pre
+retry_train logs/resnet_synthetic_v0_demo200pre/1 \
+  python train_v1.py $T --tag demo200pre
 step "V2 canonical (pretrained keys)"
-python train_v23.py $T --train-private --separate-stats --tag demo200 --pretrained-path $PRE
+retry_train logs/resnet_synthetic_v2_demo200/1 \
+  python train_v23.py $T --train-private --separate-stats --tag demo200 --pretrained-path $PRE
 step "V1 canonical (pretrained keys)"
-python train_v1.py $T --train-passport --tag demo200 --pretrained-path $PRE
+retry_train logs/resnet_synthetic_v1_demo200/1 \
+  python train_v1.py $T --train-passport --tag demo200 --pretrained-path $PRE
 step "V3 canonical (pretrained keys)"
-python train_v23.py $T --train-backdoor --separate-stats --tag demo200 --pretrained-path $PRE
+retry_train logs/resnet_synthetic_v3_demo200/1 \
+  python train_v23.py $T --train-backdoor --separate-stats --tag demo200 --pretrained-path $PRE
 step "V2 random-init control"
-python train_v23.py $T --train-private --separate-stats --tag demo200ri
+retry_train logs/resnet_synthetic_v2_demo200ri/1 \
+  python train_v23.py $T --train-private --separate-stats --tag demo200ri
 
 step "V2 attack grid"
-bash tools/run_robustness_grid.sh logs/resnet_synthetic_v2_demo200/1/models/best.ckpt resnet18 2 $CFG 200
+bash tools/run_robustness_grid.sh logs/resnet_synthetic_v2_demo200/1/models/best.ckpt resnet18 2 $CFG 200 || echo "!!! V2 grid failed"
 step "V1 attack grid"
-bash tools/run_robustness_grid.sh logs/resnet_synthetic_v1_demo200/1/models/best.ckpt resnet18 1 $CFG 200
+bash tools/run_robustness_grid.sh logs/resnet_synthetic_v1_demo200/1/models/best.ckpt resnet18 1 $CFG 200 || echo "!!! V1 grid failed"
 step "V3 attack grid (last.ckpt)"
-bash tools/run_robustness_grid.sh logs/resnet_synthetic_v3_demo200/1/models/last.ckpt resnet18 3 $CFG 200
+bash tools/run_robustness_grid.sh logs/resnet_synthetic_v3_demo200/1/models/last.ckpt resnet18 3 $CFG 200 || echo "!!! V3 grid failed"
 
 step "random-init control attacks (key-provenance delta)"
 RI="--arch resnet18 --scheme 2 --loadpath logs/resnet_synthetic_v2_demo200ri/1/models/best.ckpt --passport-config $CFG --dataset synthetic --tagnum 200"
-python passport_attack_1.py $RI --attack-rep 50
-python passport_attack_3.py $RI --flipperc 0.0 --epochs 100 --epoch-scan
+python passport_attack_1.py $RI --attack-rep 50 || echo "!!! RI attack-1 failed"
+python passport_attack_3.py $RI --flipperc 0.0 --epochs 100 --epoch-scan || echo "!!! RI attack-3 failed"
 
 step "transfer-learning legs"
 for S in 1 2 3; do
@@ -58,7 +77,8 @@ for S in 1 2 3; do
   esac
   for TLS in rtal ftal; do
     step "TL v$S $TLS"
-    python $CLI --arch resnet --dataset synthetic --batch-size 64 \
+    retry_train logs/resnet_synthetic_v${S}_demo200tl$TLS/1 \
+      python $CLI --arch resnet --dataset synthetic --batch-size 64 \
       --passport-config $CFG $FLAGS --transfer-learning --tl-scheme $TLS \
       --tl-dataset synthetic --epochs 50 --lr-config lr_configs/finetune.json \
       --tag demo200tl$TLS --pretrained-path $CK

@@ -18,18 +18,22 @@ TAG=${5:-200}
 
 COMMON="--arch $ARCH --scheme $SCHEME --loadpath $CKPT --passport-config $CFG --dataset synthetic --tagnum $TAG"
 
-python passport_attack_1.py $COMMON --attack-rep 50 || exit 1
-python pruning_attack.py $COMMON || exit 1
-python flip_attack.py $COMMON || exit 1
+# Attack CSVs are written in "w" mode (cli_common.write_history_csv), so a
+# retry after a transient remote-compile drop simply overwrites.
+retry() { for i in 1 2 3; do "$@" && return 0; echo "!!! attempt $i failed: $*"; sleep 60; done; return 1; }
+
+retry python passport_attack_1.py $COMMON --attack-rep 50 || exit 1
+retry python pruning_attack.py $COMMON || exit 1
+retry python flip_attack.py $COMMON || exit 1
 for fp in 0.0 0.1 0.25 0.5; do
-  python passport_attack_2.py $COMMON --flipperc $fp --epochs 100 || exit 1
+  retry python passport_attack_2.py $COMMON --flipperc $fp --epochs 100 || exit 1
 done
 for fp in 0.0 0.1 0.25 0.5; do
-  python passport_attack_3.py $COMMON --flipperc $fp --epochs 100 --epoch-scan || exit 1
+  retry python passport_attack_3.py $COMMON --flipperc $fp --epochs 100 --epoch-scan || exit 1
 done
 if [ "$SCHEME" != "1" ]; then
   # forge regresses onto the learned PUBLIC affine — V2/V3 only (a V1
   # deployment ships its passports; that threat is attack 3 above)
-  python passport_forge_attack.py $COMMON --flippercs 0,0.1,0.25,0.5 || exit 1
+  retry python passport_forge_attack.py $COMMON --flippercs 0,0.1,0.25,0.5 || exit 1
 fi
 echo GRID-DONE
