@@ -82,3 +82,40 @@ def import_torchvision(sd: Dict[str, Any], template_variables: Dict,
     else:
         raise ValueError(f"unsupported torchvision arch: {arch}")
     return import_torch_checkpoint(renamed, template_variables, strict=strict)
+
+
+def load_torch_pretrained(path: str, template_variables: Dict,
+                          arch: str, strict: bool = True) -> Dict:
+    """Load a ``.pth``/``.pt`` file and import it as pretrained NORMAL-model
+    weights, sniffing the layout:
+
+    - reference-layout state dicts (keys like ``features.4.conv.weight`` /
+      ``layer4.0.convbnrelu_1.bn.weight`` — what the reference's Experiment
+      saves, experiments/base.py:139-150) go through
+      ``import_torch_checkpoint``;
+    - torchvision-layout state dicts (``features.0.weight`` /
+      ``conv1.weight``) go through ``import_torchvision`` — the zero-egress
+      stand-in for the reference's ``pretrained=True`` torchvision download
+      (models/alexnet_normal.py:64-80, models/resnet_normal.py:87-99, used
+      only for the 1000-class ImageNet shape).
+
+    This is what `--pretrained-path model.pth` dispatches to in the train
+    CLIs, so reference checkpoints and torchvision dumps both work as the
+    key-derivation / fine-tune source without conversion.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for wrapper in ("state_dict", "model"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(
+                sd[wrapper], dict):
+            sd = sd[wrapper]
+    if hasattr(sd, "state_dict"):  # a whole pickled nn.Module
+        sd = sd.state_dict()
+    reference_layout = any(
+        ".conv." in k or ".bn." in k or k.startswith(("convbnrelu", "linear."))
+        for k in sd
+    )
+    if reference_layout:
+        return import_torch_checkpoint(sd, template_variables, strict=strict)
+    return import_torchvision(sd, template_variables, arch, strict=strict)

@@ -297,8 +297,9 @@ class ClassificationExperiment(Experiment):
         if self.pretrained_path and (self.scheme == 0 or self.is_tl):
             # scheme 0: resume/fine-tune a normal model. TL: the checkpoint
             # being transfer-attacked (reference finetune_load, base.py:85-108).
-            self.state = load_state(self.pretrained_path, self.state,
-                                    restore_opt=False)
+            self.state = self._load_pretrained_state(
+                self.pretrained_path, self.state
+            )
 
         if use_passport and self.key_type != "random" and not self.is_tl:
             self._setup_keys()
@@ -371,6 +372,27 @@ class ClassificationExperiment(Experiment):
                 self.model, shape, private=self.private
             )
 
+    def _load_pretrained_state(self, path: str, state):
+        """--pretrained-path accepts our checkpoint format, a reference
+        ``.pth``, or a torchvision state-dict dump (layout sniffed) — the
+        reference's pretrained-model sources for key derivation and
+        fine-tuning (classification.py:72-91, models/resnet_normal.py:87-99).
+        """
+        if path.endswith((".pth", ".pt")):
+            from deepipr_tpu.interop.torchvision_import import (
+                load_torch_pretrained,
+            )
+            variables = load_torch_pretrained(
+                path, state.model_variables(), self.arch
+            )
+            return state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+                passport=variables.get("passport", state.passport),
+                signature=variables.get("signature", state.signature),
+            )
+        return load_state(path, state, restore_opt=False)
+
     def _setup_keys(self):
         """Reference setup_keys (classification.py:130-140): sample candidate
         images, run them through a pretrained NORMAL model, snapshot per-layer
@@ -386,7 +408,7 @@ class ClassificationExperiment(Experiment):
         pvars = pretrained.init(rngs, sample, train=True)
         if self.pretrained_path:
             ptmpl = TrainState.create(pvars, sgd_optimizer(0.0))
-            ptmpl = load_state(self.pretrained_path, ptmpl, restore_opt=False)
+            ptmpl = self._load_pretrained_state(self.pretrained_path, ptmpl)
             pvars = ptmpl.model_variables()
         else:
             print(

@@ -108,3 +108,68 @@ def test_resnet50_torchvision_import():
     v = import_torchvision(tv_resnet50_sd(), tmpl, "resnet50")
     y = model.apply(v, jnp.zeros((1, 224, 224, 3)))
     assert y.shape == (1, 1000)
+
+
+class TestLoadTorchPretrained:
+    """--pretrained-path .pth dispatch: layout sniffing + CLI wiring
+    (reference classification.py:72-91 accepts both a trained checkpoint
+    and the torchvision download; we accept both as files)."""
+
+    def test_torchvision_layout_sniffed(self, tmp_path):
+        from deepipr_tpu.interop.torchvision_import import load_torch_pretrained
+
+        sd = tv_resnet18_sd()
+        sd["conv1.weight"] = torch.full((64, 3, 7, 7), 0.125)
+        p = tmp_path / "tv_resnet18.pth"
+        torch.save(sd, p)
+        model = ResNet18(num_classes=1000)
+        tmpl = model.init({"params": jax.random.key(0)},
+                          jnp.zeros((1, 224, 224, 3)), train=False)
+        v = load_torch_pretrained(str(p), tmpl, "resnet")
+        assert float(v["params"]["convbnrelu_1"]["conv"]["kernel"][0, 0, 0, 0]) == 0.125
+
+    def test_reference_layout_sniffed(self, tmp_path):
+        import numpy as np
+
+        from deepipr_tpu.interop.torchvision_import import load_torch_pretrained
+        from deepipr_tpu.interop.torch_export import export_torch_state_dict
+
+        model = ResNet18(num_classes=10)
+        tmpl = model.init({"params": jax.random.key(1)},
+                          jnp.zeros((1, 32, 32, 3)), train=False)
+        sd = export_torch_state_dict(model, tmpl)
+        p = tmp_path / "reference.pth"
+        torch.save({"state_dict": sd}, p)  # wrapped, as many .pth are
+        v = load_torch_pretrained(str(p), tmpl, "resnet")
+        k0 = tmpl["params"]["convbnrelu_1"]["conv"]["kernel"]
+        np.testing.assert_allclose(
+            np.asarray(v["params"]["convbnrelu_1"]["conv"]["kernel"]),
+            np.asarray(k0), rtol=0, atol=0)
+
+    def test_experiment_pretrained_path_pth(self, tmp_path):
+        """A torch .pth flows through Experiment._load_pretrained_state for
+        key derivation (train CLI --pretrained-path semantics)."""
+        from deepipr_tpu.interop.torch_export import export_torch_state_dict
+        from deepipr_tpu.train.experiment import ClassificationExperiment
+
+        src = ResNet18(num_classes=10)
+        vars_src = src.init({"params": jax.random.key(3)},
+                            jnp.zeros((1, 32, 32, 3)), train=False)
+        p = tmp_path / "pre.pth"
+        torch.save(export_torch_state_dict(src, vars_src), p)
+
+        exp = ClassificationExperiment({
+            "arch": "resnet", "dataset": "synthetic", "batch_size": 16,
+            "epochs": 1, "lr": 0.01, "norm_type": "bn",
+            "key_type": "shuffle", "sign_loss": 0.1,
+            "train_passport": True, "train_backdoor": False,
+            "train_private": False,
+            "lr_config": "lr_configs/finetune.json",
+            "passport_config": "passport_configs/resnet18_passport.json",
+            "logdir": str(tmp_path / "logs"),
+            "synthetic_train": 64, "synthetic_test": 32,
+            "use_trigger_as_passport": False, "transfer_learning": False,
+            "pretrained_path": str(p), "seed": 0,
+        })
+        # keys were derived (passport collection populated, no exception)
+        assert exp.state.passport
