@@ -55,6 +55,10 @@ def _ckpt_has_separate_stats(path: str) -> bool:
     ('bn_private', models/layers.py:292-301) without needing a template."""
     import flax
 
+    if path.endswith((".pth", ".pt")):
+        # reference checkpoints share one affine-free BN between branches
+        # (passportconv2d_private.py:56-64) — never per-branch stats
+        return False
     with open(path, "rb") as f:
         sd = flax.serialization.msgpack_restore(f.read())
     found = False
@@ -113,7 +117,28 @@ def load_attacked_model(args, learnable_affine: bool = False):
         return m, TrainState.create(v, sgd_optimizer(args.lr))
 
     model, state = build(passport_kwargs)
-    if args.loadpath:
+    if args.loadpath and args.loadpath.endswith((".pth", ".pt")):
+        # a reference torch checkpoint attacked directly — the reference
+        # attack scripts' own load path (passport_attack_1.py:292-312); the
+        # importer maps conv/bn/passport/signature losslessly (torch_import)
+        from deepipr_tpu.interop.torch_import import load_torch_checkpoint
+
+        try:
+            variables = load_torch_checkpoint(
+                args.loadpath, state.model_variables(), strict=True
+            )
+        except ValueError as e:
+            print(f"WARNING: non-strict torch checkpoint import — {e}")
+            variables = load_torch_checkpoint(
+                args.loadpath, state.model_variables(), strict=False
+            )
+        state = jax.device_put(state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+            passport=variables.get("passport", state.passport),
+            signature=variables.get("signature", state.signature),
+        ))
+    elif args.loadpath:
         # msgpack restore yields HOST numpy leaves; device_put once, or every
         # jitted call re-ships the full state over the (slow) relay H2D link.
         # Measured on the V3 grid: the per-epoch eval loop went from 172 s

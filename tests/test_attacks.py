@@ -400,3 +400,50 @@ class TestBackendProvenance:
         with open(tmp_path / "h.csv", newline="") as f:
             rows = list(_csv.DictReader(f))
         assert rows[0]["backend"].startswith(jax.default_backend())
+
+
+class TestLoadAttackedModelTorchCkpt:
+    def test_pth_loadpath_imports_reference_layout(self, tmp_path):
+        """Attack CLIs accept a reference .pth directly (the reference attack
+        scripts' own load path, passport_attack_1.py:292-312): layout is
+        imported losslessly incl. passports + signatures, and the signature
+        still decodes at bit-acc 1.0."""
+        import json as _json
+        from types import SimpleNamespace
+
+        import numpy as np
+        import torch
+
+        from deepipr_tpu.attacks.cli_common import load_attacked_model
+        from deepipr_tpu.interop.torch_export import export_torch_state_dict
+        from deepipr_tpu.train import sgd_optimizer as sgd
+        from deepipr_tpu.utils.config import construct_passport_kwargs
+
+        cfg = {"0": False, "2": False, "4": True, "5": True, "6": True}
+        kw, plkeys = construct_passport_kwargs(cfg, "bn", "shuffle", 0.1)
+        model = AlexNet(num_classes=10, passport_kwargs=kw, private=True)
+        v = model.init(RNGS, jnp.zeros(SHAPE), train=True)
+        pth = tmp_path / "best.pth"
+        torch.save(export_torch_state_dict(model, v), pth)
+
+        cfg_path = tmp_path / "alexnet_passport.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        args = SimpleNamespace(
+            arch="alexnet", dataset="synthetic", scheme=2,
+            loadpath=str(pth), passport_config=str(cfg_path),
+            norm_type="bn", batch_size=8, lr=0.01, tagnum=1, seed=0,
+            data_root="data", separate_stats=False,
+        )
+        _, loaded, _, _, _, _ = load_attacked_model(args)
+        # params + passports survived the torch round-trip bit-exactly
+        for name in plkeys:
+            mod = f"features_{name}"
+            np.testing.assert_array_equal(
+                np.asarray(loaded.passport[mod]["key"]),
+                np.asarray(v["passport"][mod]["key"]))
+            np.testing.assert_array_equal(
+                np.asarray(loaded.signature[mod]["b"]),
+                np.asarray(v["signature"][mod]["b"]))
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params["features_0"]["conv"]["kernel"]),
+            np.asarray(v["params"]["features_0"]["conv"]["kernel"]))
